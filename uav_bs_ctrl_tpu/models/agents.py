@@ -1,0 +1,152 @@
+"""Recurrent agents: MLP/GNN observation encoding, optional graph comm, Q head.
+
+Activation-parity surface:
+
+- ``RnnAgent``     — reference ``algos/madrqn/agents/rnn_agents.py:6-35`` and
+  ``algos/drqn/agents/rnn_agents.py``: MLP(obs) -> GRUCell -> Linear(Q).
+- ``GnnAgent``     — reference ``algos/madrqn/agents/gnn_agents.py:12-56``:
+  encoder (Dense or GraphObservationEncoder) -> comm protocol on the talk
+  graph (or plain GRUCell when no comm) -> (dueling) Q head.
+- ``DrqnGnnAgent`` — reference ``algos/drqn/agents/gnn_agents.py:9-30``:
+  single GATv2 (gt->agent 'seen-by'), GRUCell, Linear(Q).
+
+Agent selection rule (reference ``algos/madrqn/learner.py:62-67``): RnnAgent
+iff o=='mlp' and c is None; otherwise GnnAgent.
+
+Interface: ``init(key) -> params``; ``apply(params, obs, h, key=None) ->
+(q_logits, h')``.  ``obs`` is a dict pytree with leading agent dim [..., A]:
+'agent' flat features, optional 'gt'/'ubs' padded neighborhoods (flag column
+0 = mask), optional 'adj' talk adjacency [..., A, A].  ``key`` is only
+consumed by DiscreteComm's Gumbel sampling.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from uav_bs_ctrl_tpu.models.comm import COMM_REGISTRY
+from uav_bs_ctrl_tpu.models.encoders import (DenseObservationEncoder,
+                                             GraphObservationEncoder, gatv2, gatv2_init)
+from uav_bs_ctrl_tpu.models.heads import DuelingLayer
+from uav_bs_ctrl_tpu.models.modules import gru, gru_init, linear, linear_init, mlp, mlp_init
+
+
+class RnnAgent:
+    """MLP encoder -> GRU -> (dueling) Q head; used when obs is flat and no comm."""
+
+    def __init__(self, obs_shape: int, n_actions: int, args):
+        self.obs_shape = obs_shape
+        self.n_actions = n_actions
+        self.hidden = args.hidden_size
+        self.n_layers = args.n_layers
+        self.dueling = getattr(args, "dueling", False)
+        self.f_out = DuelingLayer(self.hidden, n_actions) if self.dueling else None
+
+    def init(self, key):
+        k_enc, k_rnn, k_out = jax.random.split(key, 3)
+        params = {
+            "enc": mlp_init(k_enc, self.obs_shape, self.hidden, self.n_layers),
+            "rnn": gru_init(k_rnn, self.hidden, self.hidden),
+        }
+        params["f_out"] = (self.f_out.init(k_out) if self.dueling
+                           else linear_init(k_out, self.hidden, self.n_actions))
+        return params
+
+    def init_hidden(self):
+        return jnp.zeros((1, self.hidden))
+
+    def apply(self, p, obs, h, key=None):
+        x = mlp(p["enc"], obs["agent"] if isinstance(obs, dict) else obs)
+        h = gru(p["rnn"], x, h)
+        q = self.f_out.apply(p["f_out"], h) if self.dueling else linear(p["f_out"], h)
+        return q, h
+
+
+class GnnAgent:
+    """Encoder (MLP or hetero-GATv2) -> comm protocol / GRU -> (dueling) Q head."""
+
+    def __init__(self, obs_shape, n_actions, args):
+        self.n_actions = n_actions
+        self.hidden = args.hidden_size
+        self.comm_protocol = args.c
+
+        if isinstance(obs_shape, int):
+            self.enc = DenseObservationEncoder(obs_shape, args)
+        elif isinstance(obs_shape, dict):
+            self.enc = GraphObservationEncoder(obs_shape, args)
+        else:
+            raise TypeError(f"Unsupported obs_shape {obs_shape!r}")
+
+        if self.comm_protocol is None:
+            self.f_comm = None
+        elif self.comm_protocol in COMM_REGISTRY:
+            self.f_comm = COMM_REGISTRY[self.comm_protocol](args)
+        else:
+            raise KeyError("Unsupported communication scheme.")
+
+        self.dueling = getattr(args, "dueling", False)
+        self.f_out = DuelingLayer(self.hidden, n_actions) if self.dueling else None
+
+    def init(self, key):
+        k_enc, k_comm, k_out = jax.random.split(key, 3)
+        params = {"enc": self.enc.init(k_enc)}
+        if self.f_comm is not None:
+            params["f_comm"] = self.f_comm.init(k_comm)
+        else:
+            params["rnn"] = gru_init(k_comm, self.hidden, self.hidden)
+        params["f_out"] = (self.f_out.init(k_out) if self.dueling
+                           else linear_init(k_out, self.hidden, self.n_actions))
+        return params
+
+    def init_hidden(self):
+        return jnp.zeros((1, self.hidden))
+
+    def apply(self, p, obs, h, key=None):
+        x = self.enc.apply(p["enc"], obs)   # [..., A, hidden]
+        if self.f_comm is not None:
+            h = self.f_comm.apply(p["f_comm"], obs["adj"], x, h, key)
+        else:
+            h = gru(p["rnn"], x, h)
+        q = self.f_out.apply(p["f_out"], h) if self.dueling else linear(p["f_out"], h)
+        return q, h
+
+
+class DrqnGnnAgent:
+    """Single-relation GATv2 (gt->agent) -> GRU -> Linear(Q) (exp1 agent).
+
+    The drqn graph builder attaches ALL GT rows with their full feature
+    vectors (no visibility flag; reference ``algos/drqn/utils/env_wrappers.py:63-77``),
+    so the neighborhood mask is all-ones.
+    """
+
+    def __init__(self, obs_shape: dict, n_actions: int, args):
+        self.d_agent = obs_shape["agent"]
+        self.d_gt = obs_shape["gt"]
+        self.n_actions = n_actions
+        self.hidden = args.hidden_size
+        self.n_heads = args.n_heads
+        assert self.hidden % self.n_heads == 0
+
+    def init(self, key):
+        k_enc, k_rnn, k_out = jax.random.split(key, 3)
+        return {
+            "enc": gatv2_init(k_enc, self.d_gt, self.d_agent, self.n_heads,
+                              self.hidden // self.n_heads),
+            "rnn": gru_init(k_rnn, self.hidden, self.hidden),
+            "f_out": linear_init(k_out, self.hidden, self.n_actions),
+        }
+
+    def init_hidden(self):
+        return jnp.zeros((1, self.hidden))
+
+    def apply(self, p, obs, h, key=None):
+        mask = jnp.ones(obs["gt"].shape[:-1], dtype=bool)
+        x = gatv2(p["enc"], obs["gt"], obs["agent"], mask, self.n_heads)
+        h = gru(p["rnn"], x, h)
+        return linear(p["f_out"], h), h
+
+
+def build_agent(obs_shape, n_actions, args):
+    """madrqn agent dispatch (reference ``algos/madrqn/learner.py:62-67``)."""
+    if getattr(args, "o", "mlp") == "mlp" and getattr(args, "c", None) is None:
+        return RnnAgent(obs_shape, n_actions, args)
+    return GnnAgent(obs_shape, n_actions, args)

@@ -1,0 +1,121 @@
+"""Observation encoders: dense MLP and heterograph GATv2 attention.
+
+Activation-parity surface:
+
+- ``DenseObservationEncoder`` — reference ``algos/madrqn/agents/gnn_agents.py:62-77``:
+  n_layers x (Linear -> ReLU) on the agent's flat features.
+- ``gatv2`` — DGL 0.9 ``GATv2Conv`` bipartite semantics (reference use-sites
+  ``gnn_agents.py:93-97``, ``algos/drqn/agents/gnn_agents.py:17-18``):
+  ``e_ij = a . LeakyReLU(W_src x_j + W_dst x_i)``; attention is a softmax over
+  each destination's valid in-edges; the message is the transformed *source*
+  feature ``W_src x_j``; residual projection of destination features; ReLU.
+  Zero valid in-edges -> output is residual(+activation) only.
+- ``GraphObservationEncoder`` — reference ``gnn_agents.py:80-107``: per-relation
+  GATv2 over 'seen' (gt->agent) and 'near' (ubs->agent), concat, Linear+ReLU.
+
+TPU-first layout: instead of DGL's dynamic node sets, each agent owns a
+fixed-size neighborhood slot array (``[..., A, M, d]`` candidate features +
+``[..., A, M]`` visibility mask — exactly the env's obs layout), so attention
+is a batched masked softmax + matmul on the MXU and shapes never change.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from uav_bs_ctrl_tpu.models.modules import linear, linear_init, mlp, mlp_init, xavier_normal_init
+from uav_bs_ctrl_tpu.ops.masked import masked_softmax
+
+_SQRT2 = 1.4142135623730951
+
+
+def gatv2_init(key, d_src, d_dst, n_heads, feats_per_head, dtype=jnp.float32):
+    """DGL-0.9-compatible init: xavier_normal(gain=sqrt(2)) weights."""
+    out = n_heads * feats_per_head
+    k_src, k_dst, k_attn, k_res = jax.random.split(key, 4)
+    params = {
+        "fc_src": xavier_normal_init(k_src, d_src, out, gain=_SQRT2, dtype=dtype),
+        "fc_dst": xavier_normal_init(k_dst, d_dst, out, gain=_SQRT2, dtype=dtype),
+        # torch xavier_normal on a (1, H, F) tensor: fan_in=H*F, fan_out=F.
+        "attn": _SQRT2 * jnp.sqrt(2.0 / (n_heads * feats_per_head + feats_per_head))
+                * jax.random.normal(k_attn, (n_heads, feats_per_head), dtype),
+    }
+    if d_dst != out:
+        params["res_fc"] = xavier_normal_init(k_res, d_dst, out, gain=_SQRT2, dtype=dtype)
+    return params
+
+
+def gatv2(p, x_src, x_dst, mask, n_heads, negative_slope=0.2, activation=jax.nn.relu):
+    """Masked bipartite GATv2 with residual.
+
+    x_src: [..., M, d_src] candidate source features per destination,
+    x_dst: [..., d_dst], mask: [..., M] validity -> out [..., H*F].
+    """
+    feats = p["fc_src"]["w"].shape[1] // n_heads
+    el = linear(p["fc_src"], x_src)                       # [..., M, H*F]
+    er = linear(p["fc_dst"], x_dst)[..., None, :]         # [..., 1, H*F]
+    el_h = el.reshape(el.shape[:-1] + (n_heads, feats))
+    er_h = er.reshape(er.shape[:-1] + (n_heads, feats))
+    e = jax.nn.leaky_relu(el_h + er_h, negative_slope)     # [..., M, H, F]
+    scores = jnp.sum(e * p["attn"], axis=-1)               # [..., M, H]
+    alpha = masked_softmax(scores, mask[..., None], axis=-2)
+    ft = jnp.sum(alpha[..., None] * el_h, axis=-3)         # [..., H, F]
+    rst = ft.reshape(ft.shape[:-2] + (n_heads * feats,))
+    if "res_fc" in p:
+        rst = rst + linear(p["res_fc"], x_dst)
+    else:
+        rst = rst + x_dst
+    return activation(rst) if activation is not None else rst
+
+
+class DenseObservationEncoder:
+    """MLP on the agent's flat features (reference D1)."""
+
+    def __init__(self, obs_shape: int, args):
+        self.obs_shape = obs_shape
+        self.hidden = args.hidden_size
+        self.n_layers = args.n_layers
+
+    def init(self, key):
+        return mlp_init(key, self.obs_shape, self.hidden, self.n_layers)
+
+    def apply(self, p, obs):
+        return mlp(p, obs["agent"])
+
+
+class GraphObservationEncoder:
+    """Per-relation GATv2 ('seen': gt->agent, 'near': ubs->agent) + aggregator.
+
+    obs dict layout (the env's padded neighborhoods; column 0 of gt/ubs rows
+    is the visibility flag used as the edge mask, columns 1: are features —
+    matching the reference graph builder ``env_wrappers.py:69-89`` which
+    attaches ``obs[...][ids, 1:]`` as node features):
+
+    - obs['agent']: [..., A, d_agent]
+    - obs['gt']:    [..., A, M, 1 + d_gt]
+    - obs['ubs']:   [..., A, K, 1 + d_ubs]
+    """
+
+    def __init__(self, obs_shape: dict, args):
+        self.d_agent = obs_shape["agent"]
+        self.d_gt = obs_shape["gt"]
+        self.d_ubs = obs_shape["ubs"]
+        self.hidden = args.hidden_size
+        self.n_heads = args.n_heads
+        assert self.hidden % self.n_heads == 0
+        self.feats_per_head = self.hidden // self.n_heads
+
+    def init(self, key):
+        k_seen, k_near, k_aggr = jax.random.split(key, 3)
+        return {
+            "seen": gatv2_init(k_seen, self.d_gt, self.d_agent, self.n_heads, self.feats_per_head),
+            "near": gatv2_init(k_near, self.d_ubs, self.d_agent, self.n_heads, self.feats_per_head),
+            "aggr": linear_init(k_aggr, 2 * self.hidden, self.hidden),
+        }
+
+    def apply(self, p, obs):
+        gt_mask = obs["gt"][..., 0] > 0
+        ubs_mask = obs["ubs"][..., 0] > 0
+        x_gt = gatv2(p["seen"], obs["gt"][..., 1:], obs["agent"], gt_mask, self.n_heads)
+        x_ubs = gatv2(p["near"], obs["ubs"][..., 1:], obs["agent"], ubs_mask, self.n_heads)
+        x = jnp.concatenate([x_gt, x_ubs], axis=-1)
+        return jax.nn.relu(linear(p["aggr"], x))
