@@ -1,0 +1,31 @@
+"""Shared algorithm utilities: config sanity, seeding.
+
+Parity surface: reference ``algos/common.py`` — ``check_args_sanity``
+(QMIX forces a shared scalar reward, reference ``:22-25``) and
+``set_rand_seed``.  The reference's ``cat()`` polymorphism (torch.cat vs
+dgl.batch, reference ``:40-47``) has no analog here: batching is a fixed-shape
+leading axis by construction.
+"""
+
+import random
+
+import numpy as np
+
+
+def check_args_sanity(args):
+    """Resolve device and enforce argument couplings."""
+    # Device selection is owned by JAX; keep the attribute for config.json parity.
+    if getattr(args, "device", None) not in (None, "cpu", "tpu", "cuda"):
+        args.device = "tpu"
+
+    if hasattr(args, "mixer") and args.mixer and not args.share_reward:
+        args.share_reward = True
+        print("Since QMix is used, all agents are forced to share a scalar reward.")
+
+    return args
+
+
+def set_rand_seed(seed: int):
+    """Seed the host-side RNGs (Python, NumPy). JAX keys are derived per-learner."""
+    random.seed(seed)
+    np.random.seed(seed)

@@ -1,0 +1,248 @@
+"""Recurrent Q-learning core: jitted acting and one-program BPTT updates.
+
+TPU-first redesign of the reference learners (``algos/drqn/learner.py``,
+``algos/madrqn/learner.py``): where the reference runs a Python loop of
+per-timestep GNN forwards and lets autograd unroll BPTT (reference
+``madrqn/learner.py:118-129``), here the ENTIRE update — policy and target
+unrolls over time (``jax.lax.scan``), action gather, double-Q target, QMIX
+mixing, MSE loss, gradient value-clipping, AdamW step, and Polyak target
+averaging — is one jitted XLA program.  Forward and backward fuse; nothing
+crosses the host boundary except the sampled batch.
+
+Exact reference semantics preserved:
+- TD target ``r + gamma * (1 - done) * V_next`` with plain-max or double-Q
+  ``V_next`` (``madrqn/learner.py:134-140``).
+- QMIX mixes per-agent Q into q_tot with states at t (policy) / t+1 (target)
+  (``:144-148``); shared reward = mean of local rewards (``:83-84``).
+- Gradient VALUE clip at 1 applied to the policy net only — the reference
+  clips ``policy_net.parameters()`` and leaves mixer gradients unclipped
+  (``:159``).
+- Polyak averaging of both net and mixer targets (``:162-171``).
+- Epsilon-greedy exploration is JOINT: one host-side draw decides whether all
+  agents act greedily or all act randomly (``:75-78``, SURVEY.md quirk 3).
+- Stored hidden states seed BPTT (no burn-in); ``next_h`` is zeroed at episode
+  end by the caller (``run.py`` via ``cache``).
+"""
+
+import pickle
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from uav_bs_ctrl_tpu.algos.buffer import SequenceReplayBuffer
+from uav_bs_ctrl_tpu.models.agents import GnnAgent, RnnAgent, DrqnGnnAgent, build_agent
+from uav_bs_ctrl_tpu.models.heads import QMixer
+
+
+def _tree_copy(tree):
+    return jax.tree_util.tree_map(jnp.array, tree)
+
+
+def _to_device(tree):
+    return jax.tree_util.tree_map(jnp.asarray, tree)
+
+
+class RecurrentQLearner:
+    """Shared core for DRQN (n_agents=1) and MADRQN (with mixer/double-Q)."""
+
+    def __init__(self, env_info, args, agent, seed=0):
+        self.args = args
+        self.agent = agent
+        self.n_agents = env_info.get("n_agents", 1)
+        self.n_actions = env_info["n_actions"]
+        self.state_shape = env_info.get("state_shape")
+        self.max_seq_len = (args.max_seq_len if args.max_seq_len is not None
+                            else env_info["episode_limit"])
+        self.gamma = args.gamma
+        self.polyak = args.polyak
+        self.batch_size = args.batch_size
+        self.double_q = getattr(args, "double_q", False)
+        self.use_mixer = bool(getattr(args, "mixer", False))
+
+        key = jax.random.PRNGKey(seed)
+        key, k_net, k_mix = jax.random.split(key, 3)
+        self._key = key
+
+        self.params = {"net": self.agent.init(k_net)}
+        self.mixer = None
+        if self.use_mixer:
+            assert self.state_shape is not None, "QMIX requires a global state."
+            self.mixer = QMixer(self.state_shape, self.n_agents, args)
+            self.params["mixer"] = self.mixer.init(k_mix)
+        self.target_params = _tree_copy(self.params)
+
+        self.buffer = SequenceReplayBuffer(args.replay_size, self.max_seq_len)
+
+        self.lr = args.lr
+        self.anneal_lr = getattr(args, "anneal_lr", False)
+        self.lr_scale = 1.0
+        self._epoch = 0
+        # torch AdamW defaults: betas (0.9, 0.999), eps 1e-8, weight_decay 0.01.
+        self.optimizer = optax.inject_hyperparams(optax.adamw)(
+            learning_rate=self.lr, weight_decay=0.01)
+        self.opt_state = self.optimizer.init(self.params)
+
+        self._act_jit = jax.jit(self._act_fn)
+        self._update_jit = jax.jit(self._update_fn, donate_argnums=(0, 1, 2))
+
+    # ------------------------------------------------------------------ #
+    # Acting
+
+    def init_hidden(self, batch_size=1):
+        h = np.zeros((self.n_agents * batch_size, self.agent.hidden), dtype=np.float32)
+        return h.reshape(batch_size, self.n_agents, -1).squeeze(0) if batch_size == 1 else h
+
+    def _act_fn(self, params, obs, h, key):
+        q, h2 = self.agent.apply(params["net"], obs, h, key)
+        return jnp.argmax(q, axis=-1), h2
+
+    def act(self, obs, h, eps_thres):
+        """Joint epsilon-greedy action selection (reference quirk 3)."""
+        self._key, sub = jax.random.split(self._key)
+        greedy, h2 = self._act_jit(self.params, _to_device(obs), jnp.asarray(h), sub)
+        if np.random.random() > eps_thres:
+            acts = np.asarray(greedy)
+        else:
+            acts = np.random.randint(self.n_actions, size=(self.n_agents,))
+        return acts.tolist(), np.asarray(h2)
+
+    # ------------------------------------------------------------------ #
+    # Experience
+
+    def cache(self, obs, h, state, act, rew, next_obs, next_h, next_state, done, bad_mask):
+        rew = np.asarray(rew, dtype=np.float32).reshape(-1)
+        if getattr(self.args, "share_reward", False):
+            rew = rew.mean(keepdims=True)
+
+        transition = dict(
+            obs=obs, h=np.asarray(h, np.float32),
+            act=np.asarray(act, np.int32).reshape(-1),
+            rew=rew,
+            done=np.float32((1 - bad_mask) * done),
+            next_obs=next_obs, next_h=np.asarray((1 - done) * next_h, np.float32),
+        )
+        if state is not None:
+            transition["state"] = np.asarray(state, np.float32)
+            transition["next_state"] = np.asarray(next_state, np.float32)
+        self.buffer.push(transition)
+
+    # ------------------------------------------------------------------ #
+    # Update
+
+    def _loss_fn(self, params, target_params, batch, key):
+        T = self.max_seq_len
+        # Time-major views: leaves [T(+1), B, ...].
+        obs = jax.tree_util.tree_map(lambda x: jnp.moveaxis(x, 1, 0), batch["obs"])
+        acts = jnp.moveaxis(batch["act"], 1, 0).astype(jnp.int32)     # [T, B, A]
+        rews = jnp.moveaxis(batch["rew"], 1, 0)                       # [T, B, R]
+        dones = jnp.moveaxis(batch["done"], 1, 0)[..., None]          # [T, B, 1]
+        h0 = batch["h"][:, 0]
+        h_targ0 = batch["h"][:, 1]
+
+        def pol_step(carry, obs_t):
+            h, k = carry
+            k, sub = jax.random.split(k)
+            q, h = self.agent.apply(params["net"], obs_t, h, sub)
+            return (h, k), q
+
+        key_pol, key_targ = jax.random.split(key)
+        (_, _), agent_out = jax.lax.scan(pol_step, (h0, key_pol), obs)  # [T+1, B, A, n_act]
+
+        def targ_step(carry, obs_t):
+            h, k = carry
+            k, sub = jax.random.split(k)
+            q, h = self.agent.apply(target_params["net"], obs_t, h, sub)
+            return (h, k), q
+
+        obs_next = jax.tree_util.tree_map(lambda x: x[1:], obs)
+        (_, _), target_out = jax.lax.scan(targ_step, (h_targ0, key_targ), obs_next)
+        target_out = jax.lax.stop_gradient(target_out)                # [T, B, A, n_act]
+
+        qvals = jnp.take_along_axis(agent_out[:T], acts[..., None], axis=-1)[..., 0]
+        if self.double_q:
+            next_acts = jnp.argmax(jax.lax.stop_gradient(agent_out[1:]), axis=-1)
+            next_vals = jnp.take_along_axis(target_out, next_acts[..., None], axis=-1)[..., 0]
+        else:
+            next_vals = jnp.max(target_out, axis=-1)
+
+        if self.mixer is not None:
+            states = jnp.moveaxis(batch["state"], 1, 0)               # [T+1, B, ds]
+            qvals = self.mixer.apply(params["mixer"], qvals, states[:T])
+            next_vals = jax.lax.stop_gradient(
+                self.mixer.apply(target_params["mixer"], next_vals, states[1:]))
+
+        target_q = rews + self.gamma * (1.0 - dones) * next_vals
+        target_q = jnp.broadcast_to(jax.lax.stop_gradient(target_q), qvals.shape)
+        loss = jnp.mean(jnp.square(qvals - target_q))
+        return loss, qvals
+
+    def _update_fn(self, params, target_params, opt_state, batch, key, lr_scale):
+        (loss, qvals), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
+            params, target_params, batch, key)
+
+        # Value-clip the policy-net gradients only (reference clips
+        # policy_net.parameters(); mixer grads pass through unclipped).
+        grads["net"] = jax.tree_util.tree_map(lambda g: jnp.clip(g, -1.0, 1.0), grads["net"])
+
+        opt_state.hyperparams["learning_rate"] = self.lr * lr_scale
+        updates, opt_state = self.optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+        target_params = jax.tree_util.tree_map(
+            lambda t, p: self.polyak * t + (1.0 - self.polyak) * p, target_params, params)
+
+        metrics = dict(LossQ=loss, QVals=jnp.mean(qvals))
+        return params, target_params, opt_state, metrics
+
+    def update(self):
+        assert len(self.buffer) >= self.batch_size, "Insufficient samples for update."
+        batch = _to_device(self.buffer.sample(self.batch_size))
+        self._key, sub = jax.random.split(self._key)
+        self.params, self.target_params, self.opt_state, metrics = self._update_jit(
+            self.params, self.target_params, self.opt_state, batch, sub,
+            jnp.float32(self.lr_scale))
+        return {k: float(v) for k, v in metrics.items()}
+
+    def step_lr_scheduler(self):
+        """Epoch-stepped LambdaLR: scale = max(0.4, 1 - epoch/100)."""
+        self._epoch += 1
+        if self.anneal_lr:
+            self.lr_scale = max(0.4, 1.0 - self._epoch / 100)
+
+    # ------------------------------------------------------------------ #
+    # Checkpointing
+
+    def save_checkpoint(self, path, stamp):
+        to_np = lambda tree: jax.tree_util.tree_map(np.asarray, tree)
+        checkpoint = dict(stamp)
+        checkpoint["model_state_dict"] = to_np(self.params["net"])
+        checkpoint["optimizer_state_dict"] = to_np(self.opt_state)
+        if self.mixer is not None:
+            checkpoint["mixer_state_dict"] = to_np(self.params["mixer"])
+        if self.anneal_lr:
+            checkpoint["lr_scheduler_state_dict"] = dict(epoch=self._epoch,
+                                                         lr_scale=self.lr_scale)
+        with open(path, "wb") as f:
+            pickle.dump(checkpoint, f)
+        print(f"Save checkpoint to {path}.")
+
+    def load_checkpoint(self, path):
+        with open(path, "rb") as f:
+            checkpoint = pickle.load(f)
+        stamp = dict(epoch=checkpoint["epoch"], t=checkpoint["t"])
+        self.params["net"] = _to_device(checkpoint["model_state_dict"])
+        if self.mixer is not None:
+            self.params["mixer"] = _to_device(checkpoint["mixer_state_dict"])
+        self.target_params = _tree_copy(self.params)
+        self.opt_state = jax.tree_util.tree_map(
+            jnp.asarray, checkpoint["optimizer_state_dict"],
+            is_leaf=lambda x: isinstance(x, np.ndarray))
+        if self.anneal_lr and "lr_scheduler_state_dict" in checkpoint:
+            self._epoch = checkpoint["lr_scheduler_state_dict"]["epoch"]
+            self.lr_scale = checkpoint["lr_scheduler_state_dict"]["lr_scale"]
+        print(f"Load checkpoint from {path}.")
+        return stamp

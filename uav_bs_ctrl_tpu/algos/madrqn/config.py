@@ -1,0 +1,43 @@
+"""Default MADRQN configuration (parity: reference ``algos/madrqn/config.py``)."""
+
+DEFAULT_CONFIG = {
+
+    'device': 'tpu',
+    'cuda_deterministic': False,
+    'cuda_index': 0,
+
+    'o': 'mlp',            # Observation encoder type ('mlp' | 'gnn')
+    'c': None,             # Comm protocol (None|'base'|'disc'|'commnet'|'tarmac'|'econv')
+    'share_reward': False,
+
+    # Model parameters
+    'hidden_size': 64,
+    'n_layers': 1,
+    'n_heads': 4,
+    'msg_size': 64,
+    'key_size': 16,
+    'n_rounds': 1,
+    'embed_dim': 32,       # QMixer embedding dim
+
+    # Basic training hyperparameters
+    'lr': 5e-4,
+    'gamma': 0.99,
+    'polyak': 0.995,
+    'batch_size': 32,
+    'replay_size': int(5e3),
+    'decay_steps': int(5e4),
+    'max_seq_len': None,   # None -> episode_limit
+
+    'steps_per_epoch': 4000,
+    'epochs': 50,
+    'update_after': 2000,
+    'num_test_episodes': 5,
+    'save_freq': 10,
+
+    # Optimization techniques
+    'anneal_lr': True,
+    'norm_r': True,        # Kept for config parity; unwired (SURVEY.md quirk 1)
+    'double_q': False,
+    'dueling': False,
+    'mixer': False,
+}

@@ -1,0 +1,158 @@
+"""MADRQN training driver (parity surface: reference ``algos/madrqn/run.py``).
+
+Same loop structure and logging schema: epsilon-greedy rollouts with joint
+exploration, update every ``max_seq_len`` steps after ``update_after``,
+per-epoch greedy test episodes + replay rendering + checkpointing + tabular
+logs.  ``config.json`` captures ``train()``'s locals so evaluation can rebuild
+envs/args (reference behavior; consumed by ``test_policies.py``).
+"""
+
+import copy
+import os.path as osp
+import time
+from copy import deepcopy
+from functools import partial
+from types import SimpleNamespace as SN
+
+import numpy as np
+import pandas as pd
+
+from uav_bs_ctrl_tpu.algos.common import check_args_sanity, set_rand_seed
+from uav_bs_ctrl_tpu.algos.madrqn.config import DEFAULT_CONFIG
+from uav_bs_ctrl_tpu.algos.madrqn.learner import MultiAgentQLearner
+from uav_bs_ctrl_tpu.algos.madrqn.wrappers import make_env
+from uav_bs_ctrl_tpu.utils.logx import EpochLogger
+
+
+def train(env_fn, env_kwargs, seed, train_kwargs=dict(), logger_kwargs=dict()):
+    """Main multi-agent Q-learning entry point."""
+
+    logger = EpochLogger(**logger_kwargs)
+    del logger_kwargs
+
+    set_rand_seed(seed)
+
+    config = copy.deepcopy(DEFAULT_CONFIG)
+    config.update(train_kwargs)
+    args = SN(**config)
+    del train_kwargs, config
+    args = check_args_sanity(args)
+
+    logger.save_config(locals())
+
+    env = make_env(partial(env_fn, **env_kwargs, record=False), args)
+    test_env = make_env(partial(env_fn, **env_kwargs, record=True), args)
+
+    env_info = env.get_env_info()
+    learner = MultiAgentQLearner(env_info, args, seed=seed)
+
+    total_steps = args.steps_per_epoch * args.epochs
+    update_after = max(args.update_after, learner.batch_size * learner.max_seq_len)
+    update_every = learner.max_seq_len
+
+    eps_start, eps_end = 1, 0.05
+    eps_thres = lambda t: max(eps_end, -(eps_start - eps_end) / args.decay_steps * t + eps_start)
+
+    epoch = 0
+
+    def test_agent():
+        for n in range(args.num_test_episodes):
+            (o, _), h, d = test_env.reset(), learner.init_hidden(), False
+            while not d:
+                a, h = learner.act(o, h, 0.05)
+                o, _, _, d, info = test_env.step(a)
+            logger.store(TestEpRet=info.get('EpRet'))
+            if epoch % args.save_freq == 0:
+                test_env.replay(save_dir=osp.join(logger.output_dir or '/tmp',
+                                                  f'epoch{epoch}_episode{n}'))
+
+    episode = 0
+    start_time = time.time()
+    (o, s), h = env.reset(), learner.init_hidden()
+
+    for t in range(total_steps):
+        a, h2 = learner.act(o, h, eps_thres(t))
+        o2, s2, r, d, info = env.step(a)
+        learner.cache(o, h, s, a, r, o2, h2, s2, d, info.get("BadMask"))
+        o, s, h = o2, s2, h2
+
+        if d:
+            episode += 1
+            logger.store(**{k: v for k, v in info.items() if k != 'BadMask'})
+            (o, s), h = env.reset(), learner.init_hidden()
+
+        if (t >= update_after) and (t % update_every == 0):
+            diagnostic = learner.update()
+            logger.store(**diagnostic)
+
+        if (t + 1) % args.steps_per_epoch == 0:
+            epoch = (t + 1) // args.steps_per_epoch
+            test_agent()
+            learner.step_lr_scheduler()
+            if (epoch % args.save_freq == 0) or (epoch == args.epochs):
+                save_path = osp.join(logger.output_dir or '/tmp', f'checkpoint_epoch{epoch}.pt')
+                learner.save_checkpoint(save_path, stamp=dict(epoch=epoch, t=t))
+
+            logger.log_tabular('Epoch', epoch)
+            logger.log_tabular('Episode', episode)
+            logger.log_tabular('EpRet', with_min_and_max=True)
+            logger.log_tabular('EpLen', average_only=True)
+            logger.log_tabular('AvgGlobalUtility', with_min_and_max=True)
+            logger.log_tabular('TotalThroughput', average_only=True)
+            logger.log_tabular('FairIdx', average_only=True)
+            logger.log_tabular('ProbCollision', average_only=True)
+            logger.log_tabular('TestEpRet', with_min_and_max=True)
+            logger.log_tabular('TotalEnvInteracts', t + 1)
+            logger.log_tabular('LossQ', average_only=True)
+            logger.log_tabular('Time', time.time() - start_time)
+            logger.dump_tabular()
+
+    print("Complete.")
+
+
+def load_and_run_policy(model_path, env_fn, env_kwargs, seed, agent_kwargs, n_episodes,
+                        output_dir):
+    """Load a checkpoint and roll greedy test episodes, recording metrics."""
+
+    set_rand_seed(seed)
+
+    config = deepcopy(DEFAULT_CONFIG)
+    config.update(agent_kwargs)
+    args = SN(**config)
+    args = check_args_sanity(args)
+
+    env = make_env(partial(env_fn, **env_kwargs, record=True), args)
+    env_info = env.get_env_info()
+    learner = MultiAgentQLearner(env_info, args, seed=seed)
+    learner.load_checkpoint(model_path)
+
+    rsts = {}
+    for n in range(n_episodes):
+        (o, _), h, d = env.reset(), learner.init_hidden(), False
+        while not d:
+            a, h = learner.act(o, h, 0.05)
+            o, _, _, d, info = env.step(a)
+
+        env.replay(save_dir=osp.join(output_dir, f'episode{n}'))
+        for k, v in info.items():
+            rsts.setdefault(k, []).append(v)
+
+    return pd.DataFrame(rsts)
+
+
+if __name__ == '__main__':
+    import argparse
+    from uav_bs_ctrl_tpu.envs.mubs_cov import MultiUbsCoverageEnv
+    from uav_bs_ctrl_tpu.utils.run_utils import setup_logger_kwargs
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--map', type=str, default='test')
+    parser.add_argument('--seed', '-s', type=int, default=0)
+    parser.add_argument('--exp', type=str, default='madrqn')
+    cli = parser.parse_args()
+
+    logger_kwargs = setup_logger_kwargs(cli.exp, cli.seed)
+    train_kwargs = dict(o='mlp', c=None, n_layers=2, double_q=True)
+
+    train(MultiUbsCoverageEnv, dict(map_id=cli.map, avoid_collision=True), cli.seed,
+          train_kwargs=train_kwargs, logger_kwargs=logger_kwargs)

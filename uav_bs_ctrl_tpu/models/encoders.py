@@ -51,6 +51,11 @@ def gatv2(p, x_src, x_dst, mask, n_heads, negative_slope=0.2, activation=jax.nn.
     x_dst: [..., d_dst], mask: [..., M] validity -> out [..., H*F].
     """
     feats = p["fc_src"]["w"].shape[1] // n_heads
+    if x_src.shape[-2] == 0:
+        # Statically empty neighborhood (e.g. single-UBS maps have no 'near'
+        # slots): zero in-degree everywhere -> residual(+activation) only.
+        rst = linear(p["res_fc"], x_dst) if "res_fc" in p else x_dst
+        return activation(rst) if activation is not None else rst
     el = linear(p["fc_src"], x_src)                       # [..., M, H*F]
     er = linear(p["fc_dst"], x_dst)[..., None, :]         # [..., 1, H*F]
     el_h = el.reshape(el.shape[:-1] + (n_heads, feats))

@@ -1,0 +1,168 @@
+"""Epoch-buffered tabular logger.
+
+Output-format parity with the reference (``utils/logx.py``): tab-separated
+``progress.txt`` with identical column-naming rules (``Average``/``Std``/
+``Max``/``Min`` prefixes), an aligned stdout table, and a ``config.json``
+snapshot — downstream tooling (``plot.py``, ``collect_curves.py``,
+``test_policies.py``) parses these files, so the formats are load-bearing.
+
+Multi-process gating: the reference gates on MPI rank 0
+(``logx.py:72,91,129``); here on JAX process index 0 (multi-host pods).
+"""
+
+import atexit
+import json
+import os
+import os.path as osp
+import time
+
+import numpy as np
+
+from uav_bs_ctrl_tpu.utils.serialization import convert_json
+
+color2num = dict(gray=30, red=31, green=32, yellow=33, blue=34, magenta=35,
+                 cyan=36, white=37, crimson=38)
+
+
+def colorize(string, color, bold=False, highlight=False):
+    attr = []
+    num = color2num[color]
+    if highlight:
+        num += 10
+    attr.append(str(num))
+    if bold:
+        attr.append('1')
+    return '\x1b[%sm%s\x1b[0m' % (';'.join(attr), string)
+
+
+def proc_id() -> int:
+    """Host index (0 on single-host; jax.process_index on multi-host pods)."""
+    try:
+        import jax
+        return jax.process_index()
+    except Exception:
+        return 0
+
+
+def statistics_scalar(x, with_min_and_max=False):
+    """Mean/std (and optional min/max) of a list/array of scalars.
+
+    On multi-host deployments these are per-host statistics; cross-host
+    aggregation happens in the distributed layer (``parallel.dist``).
+    """
+    x = np.array(x, dtype=np.float32)
+    mean = x.mean() if x.size else 0.0
+    std = np.sqrt(np.mean((x - mean) ** 2)) if x.size else 0.0
+    if with_min_and_max:
+        mn = x.min() if x.size else np.inf
+        mx = x.max() if x.size else -np.inf
+        return mean, std, mn, mx
+    return mean, std
+
+
+class Logger:
+    """Writes diagnostics to stdout and a TSV ``progress.txt``."""
+
+    def __init__(self, output_dir=None, output_fname='progress.txt', exp_name=None):
+        if proc_id() == 0:
+            self.output_dir = output_dir or "/tmp/experiments/%i" % int(time.time())
+            if osp.exists(self.output_dir):
+                print("Warning: Log dir %s already exists! Storing info there anyway."
+                      % self.output_dir)
+            else:
+                os.makedirs(self.output_dir)
+            self.output_file = open(osp.join(self.output_dir, output_fname), 'w')
+            atexit.register(self.output_file.close)
+            print(colorize("Logging data to %s" % self.output_file.name, 'green', bold=True))
+        else:
+            self.output_dir = None
+            self.output_file = None
+        self.first_row = True
+        self.log_headers = []
+        self.log_current_row = {}
+        self.exp_name = exp_name
+
+    def log(self, msg, color='green'):
+        if proc_id() == 0:
+            print(colorize(msg, color, bold=True))
+
+    def log_tabular(self, key, val):
+        if self.first_row:
+            self.log_headers.append(key)
+        else:
+            assert key in self.log_headers, \
+                "Trying to introduce a new key %s that you didn't include in the first iteration" % key
+        assert key not in self.log_current_row, \
+            "You already set %s this iteration. Maybe you forgot to call dump_tabular()" % key
+        self.log_current_row[key] = val
+
+    def save_config(self, config):
+        """Snapshot the experiment config as JSON (parsed back by evaluation)."""
+        config_json = convert_json(config)
+        if self.exp_name is not None:
+            config_json['exp_name'] = self.exp_name
+        if proc_id() == 0:
+            output = json.dumps(config_json, separators=(',', ':\t'), indent=4, sort_keys=True)
+            print(colorize('Saving config:\n', color='cyan', bold=True))
+            print(output)
+            with open(osp.join(self.output_dir, "config.json"), 'w') as out:
+                out.write(output)
+
+    def dump_tabular(self):
+        if proc_id() == 0:
+            vals = []
+            key_lens = [len(key) for key in self.log_headers]
+            max_key_len = max(15, max(key_lens))
+            keystr = '%' + '%d' % max_key_len
+            fmt = "| " + keystr + "s | %15s |"
+            n_slashes = 22 + max_key_len
+            print("-" * n_slashes)
+            for key in self.log_headers:
+                val = self.log_current_row.get(key, "")
+                valstr = "%8.3g" % val if hasattr(val, "__float__") else val
+                print(fmt % (key, valstr))
+                vals.append(val)
+            print("-" * n_slashes, flush=True)
+            if self.output_file is not None:
+                if self.first_row:
+                    self.output_file.write("\t".join(self.log_headers) + "\n")
+                self.output_file.write("\t".join(map(str, vals)) + "\n")
+                self.output_file.flush()
+        self.log_current_row.clear()
+        self.first_row = False
+
+
+class EpochLogger(Logger):
+    """Adds per-epoch mean/std/min/max accumulation via ``store()``."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.epoch_dict = dict()
+
+    def store(self, **kwargs):
+        for k, v in kwargs.items():
+            if k not in self.epoch_dict:
+                self.epoch_dict[k] = []
+            self.epoch_dict[k].append(v)
+
+    def log_tabular(self, key, val=None, with_min_and_max=False, average_only=False):
+        if val is not None:
+            super().log_tabular(key, val)
+        else:
+            v = self.epoch_dict[key]
+            vals = (np.concatenate(v) if isinstance(v[0], np.ndarray) and len(v[0].shape) > 0
+                    else v)
+            stats = statistics_scalar(vals, with_min_and_max=with_min_and_max)
+            super().log_tabular(key if average_only else 'Average' + key, stats[0])
+            if not average_only:
+                super().log_tabular('Std' + key, stats[1])
+            if with_min_and_max:
+                super().log_tabular('Max' + key, stats[3])
+                super().log_tabular('Min' + key, stats[2])
+        self.epoch_dict[key] = []
+
+    def get_stats(self, key):
+        v = self.epoch_dict[key]
+        vals = (np.concatenate(v) if isinstance(v[0], np.ndarray) and len(v[0].shape) > 0
+                else v)
+        return statistics_scalar(vals)
