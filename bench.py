@@ -1,0 +1,224 @@
+"""Headline benchmark: hetero-GNN MARL training throughput (edges/s/chip).
+
+Workload: the REAL training update of the exp3-flagship configuration —
+MADRQN GnnAgent (per-relation GATv2 'seen'/'near' + TarMAC talk-graph
+attention + GRU + dueling) with double-Q, trained by the one-program jitted
+scan-BPTT update (policy unroll T+1, target unroll T, backward, AdamW,
+Polyak).  Nothing is hoistable: every timestep has distinct observations.
+
+Metric: message-passing edges processed per second per chip, counting the
+padded relation capacities over the policy+target forward unrolls per update
+(backward work is NOT counted — the number is conservative):
+
+    edges/update = B * (2T + 1) * A * (M_gt + K_ubs + A_talk)
+
+Baseline ("vs_baseline"): the same training step implemented in torch on CPU
+(stand-in for the reference's torch/DGL stack — the reference publishes no
+throughput numbers and DGL is unavailable here; see BASELINE.md).
+
+Timing note: on the tunneled TPU, ``block_until_ready`` does not reliably
+fence; every measurement is closed with a scalar host fetch.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+from types import SimpleNamespace as SN
+
+import numpy as np
+
+# exp3 '8ubs'-class flagship training configuration.
+A, M, K = 8, 50, 7
+NF_GT, NF_UBS = 5, 3
+HID, HEADS, MSG, KEYSZ = 256, 4, 64, 16
+N_ACT = 9
+B, T = 32, 50
+STATE_DIM = A * 2 + M * 4
+EDGES_PER_UPDATE = B * (2 * T + 1) * A * (M + K + A)
+TRAIN_KW = dict(o="gnn", c="tarmac", hidden_size=HID, msg_size=MSG, key_size=KEYSZ,
+                n_heads=HEADS, n_layers=2, batch_size=B, max_seq_len=T,
+                double_q=True, dueling=True, replay_size=64)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def synth_obs(rng, shape_prefix):
+    return {
+        "agent": rng.normal(size=shape_prefix + (A, 2)).astype(np.float32),
+        "gt": np.concatenate([(rng.random(shape_prefix + (A, M, 1)) > 0.3).astype(np.float32),
+                              rng.normal(size=shape_prefix + (A, M, NF_GT - 1)).astype(np.float32)], -1),
+        "ubs": np.concatenate([(rng.random(shape_prefix + (A, K, 1)) > 0.3).astype(np.float32),
+                               rng.normal(size=shape_prefix + (A, K, NF_UBS - 1)).astype(np.float32)], -1),
+        "adj": np.ones(shape_prefix + (A, A), dtype=bool),
+    }
+
+
+def bench_tpu(n_timed=10):
+    import jax
+    import jax.numpy as jnp
+    from uav_bs_ctrl_tpu.algos.common import check_args_sanity
+    from uav_bs_ctrl_tpu.algos.madrqn.config import DEFAULT_CONFIG
+    from uav_bs_ctrl_tpu.algos.madrqn.learner import MultiAgentQLearner
+
+    cfg = dict(DEFAULT_CONFIG)
+    cfg.update(TRAIN_KW)
+    args = check_args_sanity(SN(**cfg))
+
+    env_info = dict(obs_shape=dict(agent=2, gt=NF_GT - 1, ubs=NF_UBS - 1),
+                    state_shape=STATE_DIM, n_actions=N_ACT, n_agents=A,
+                    episode_limit=T)
+    learner = MultiAgentQLearner(env_info, args, seed=0)
+
+    rng = np.random.default_rng(0)
+    for _ in range(B):
+        for t in range(T):
+            learner.cache(
+                obs=synth_obs(rng, ()), h=rng.normal(size=(A, HID)).astype(np.float32),
+                state=rng.normal(size=(STATE_DIM,)).astype(np.float32),
+                act=rng.integers(N_ACT, size=A), rew=rng.normal(size=A).astype(np.float32),
+                next_obs=synth_obs(rng, ()),
+                next_h=rng.normal(size=(A, HID)).astype(np.float32),
+                next_state=rng.normal(size=(STATE_DIM,)).astype(np.float32),
+                done=float(t == T - 1), bad_mask=float(t == T - 1))
+
+    t0 = time.perf_counter()
+    m = learner.update()  # compile + tunnel warmup (+first host fetch inside)
+    log(f"TPU first update (compile+warmup): {time.perf_counter() - t0:.1f}s "
+        f"LossQ={m['LossQ']:.4f}")
+
+    # Timed: metric dict values are host-fetched per update (floats), so the
+    # loop is fully synchronous.
+    t0 = time.perf_counter()
+    for _ in range(n_timed):
+        m = learner.update()
+    dt = time.perf_counter() - t0
+    per_update = dt / n_timed
+    edges_per_s = EDGES_PER_UPDATE / per_update
+    log(f"TPU: {n_timed} updates in {dt:.3f}s -> {per_update * 1e3:.1f} ms/update, "
+        f"{edges_per_s:,.0f} edges/s")
+    return edges_per_s
+
+
+def bench_torch_cpu(n_timed=2):
+    """Same training step in torch on CPU (reference-class stack stand-in)."""
+    import torch
+    import torch.nn.functional as F
+
+    torch.manual_seed(0)
+    Fh = HID // HEADS
+
+    class GATRel(torch.nn.Module):
+        def __init__(self, d_src, d_dst):
+            super().__init__()
+            self.fc_src = torch.nn.Linear(d_src, HID)
+            self.fc_dst = torch.nn.Linear(d_dst, HID)
+            self.attn = torch.nn.Parameter(torch.randn(HEADS, Fh))
+            self.res = torch.nn.Linear(d_dst, HID)
+
+        def forward(self, x_src, x_dst, mask):
+            el = self.fc_src(x_src).view(*x_src.shape[:-1], HEADS, Fh)
+            er = self.fc_dst(x_dst).view(*x_dst.shape[:-1], HEADS, Fh).unsqueeze(-3)
+            e = F.leaky_relu(el + er, 0.2)
+            scores = (e * self.attn).sum(-1)
+            scores = scores.masked_fill(~mask.unsqueeze(-1), -1e30)
+            alpha = torch.softmax(scores, dim=-2)
+            ft = (alpha.unsqueeze(-1) * el).sum(-3)
+            return torch.relu(ft.flatten(-2) + self.res(x_dst))
+
+    class Flagship(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.seen = GATRel(NF_GT - 1, 2)
+            self.near = GATRel(NF_UBS - 1, 2)
+            self.aggr = torch.nn.Linear(2 * HID, HID)
+            self.f_val = torch.nn.Linear(2 * HID, MSG)
+            self.f_sign = torch.nn.Linear(2 * HID, KEYSZ)
+            self.f_que = torch.nn.Linear(2 * HID, KEYSZ)
+            self.f_udt = torch.nn.GRUCell(HID + MSG, HID)
+            self.adv = torch.nn.Linear(HID, N_ACT)
+            self.v = torch.nn.Linear(HID, 1)
+
+        def forward(self, obs, h):
+            x_gt = self.seen(obs["gt"][..., 1:], obs["agent"], obs["gt"][..., 0] > 0)
+            x_ubs = self.near(obs["ubs"][..., 1:], obs["agent"], obs["ubs"][..., 0] > 0)
+            x = torch.relu(self.aggr(torch.cat([x_gt, x_ubs], -1)))
+            inputs = torch.cat([x, h.detach()], -1)
+            v = self.f_val(inputs)
+            s = self.f_sign(inputs)
+            q = self.f_que(inputs)
+            scores = torch.einsum("bsk,bdk->bsd", s, q) / KEYSZ
+            scores = scores.masked_fill(~obs["adj"], -1e30)
+            alpha = torch.softmax(scores, dim=-2)
+            c = torch.einsum("bsd,bsm->bdm", alpha, v)
+            h = self.f_udt(torch.cat([x, c], -1).view(-1, HID + MSG),
+                           h.reshape(-1, HID)).view(B, A, HID)
+            adv = self.adv(h)
+            return self.v(h) + adv - adv.mean(-1, keepdim=True), h
+
+    policy, target = Flagship(), Flagship()
+    target.load_state_dict(policy.state_dict())
+    opt = torch.optim.AdamW(policy.parameters(), lr=2.5e-4)
+
+    rng = np.random.default_rng(0)
+    obs_seq = []
+    for t in range(T + 1):
+        o = synth_obs(rng, (B,))
+        o = {k: torch.as_tensor(v) for k, v in o.items()}
+        o["adj"] = o["adj"].bool()
+        obs_seq.append(o)
+    acts = torch.randint(N_ACT, (T, B, A, 1))
+    rews = torch.randn(T, B, A)
+
+    def one_update():
+        h = torch.zeros(B, A, HID)
+        h_targ = torch.zeros(B, A, HID)
+        agent_out, target_out = [], []
+        for t in range(T):
+            q, h = policy(obs_seq[t], h)
+            agent_out.append(q)
+            with torch.no_grad():
+                qn, h_targ = target(obs_seq[t + 1], h_targ)
+                target_out.append(qn)
+        q, h = policy(obs_seq[T], h)
+        agent_out.append(q)
+        agent_out = torch.stack(agent_out)
+        target_out = torch.stack(target_out)
+        qvals = agent_out[:-1].gather(-1, acts).squeeze(-1)
+        next_acts = agent_out[1:].detach().argmax(-1, keepdim=True)
+        next_vals = target_out.gather(-1, next_acts).squeeze(-1)
+        loss = F.mse_loss(qvals, rews + 0.99 * next_vals)
+        opt.zero_grad()
+        loss.backward()
+        torch.nn.utils.clip_grad_value_(policy.parameters(), 1)
+        opt.step()
+        return float(loss)
+
+    one_update()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(n_timed):
+        one_update()
+    dt = time.perf_counter() - t0
+    per_update = dt / n_timed
+    edges_per_s = EDGES_PER_UPDATE / per_update
+    log(f"torch-CPU: {n_timed} updates in {dt:.3f}s -> {per_update * 1e3:.0f} ms/update, "
+        f"{edges_per_s:,.0f} edges/s")
+    return edges_per_s
+
+
+def main():
+    tpu = bench_tpu()
+    cpu = bench_torch_cpu()
+    print(json.dumps({
+        "metric": "hetero_gnn_marl_train_throughput",
+        "value": round(tpu),
+        "unit": "edges/s/chip",
+        "vs_baseline": round(tpu / cpu, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

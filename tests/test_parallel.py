@@ -1,0 +1,110 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh.
+
+Validates that the sharded training step compiles and executes with real
+('dp','mp') shardings, that dp-sharded updates produce the same math as
+single-device updates, and that the driver-facing ``dryrun_multichip`` runs.
+"""
+
+import numpy as np
+import pytest
+from types import SimpleNamespace as SN
+
+import jax
+
+from uav_bs_ctrl_tpu.algos.common import check_args_sanity
+from uav_bs_ctrl_tpu.algos.madrqn.config import DEFAULT_CONFIG
+from uav_bs_ctrl_tpu.algos.madrqn.learner import MultiAgentQLearner
+from uav_bs_ctrl_tpu.algos.madrqn.wrappers import make_env
+from uav_bs_ctrl_tpu.envs.mubs_cov import MultiUbsCoverageEnv
+from uav_bs_ctrl_tpu.parallel import make_mesh, distribute_learner, shard_params_spec
+
+
+def _args(**kw):
+    cfg = dict(DEFAULT_CONFIG)
+    cfg.update(hidden_size=32, msg_size=16, batch_size=8, replay_size=50,
+               max_seq_len=5, **kw)
+    return check_args_sanity(SN(**cfg))
+
+
+def _fill(learner, env, n_steps=50):
+    (o, s), h = env.reset(), learner.init_hidden()
+    for t in range(n_steps):
+        a, h2 = learner.act(o, h, 1.0)
+        o2, s2, r, d, info = env.step(a)
+        learner.cache(o, h, s, a, r, o2, h2, s2, d, info["BadMask"])
+        o, s, h = o2, s2, h2
+        if d:
+            (o, s), h = env.reset(), learner.init_hidden()
+
+
+def test_devices_available():
+    assert len(jax.devices()) >= 8
+
+
+@pytest.mark.parametrize("mp", [1, 2])
+def test_sharded_update_runs(mp):
+    np.random.seed(0)
+    args = _args(o="mlp", c="tarmac")
+    env = make_env(lambda: MultiUbsCoverageEnv(map_id="debug", record=False,
+                                               use_native=False), args)
+    learner = MultiAgentQLearner(env.get_env_info(), args, seed=0)
+    _fill(learner, env)
+
+    mesh = make_mesh(8, mp=mp)
+    distribute_learner(learner, mesh)
+    with mesh:
+        m1 = learner.update()
+        m2 = learner.update()
+    assert np.isfinite(m1["LossQ"]) and np.isfinite(m2["LossQ"])
+
+
+def test_dp_update_matches_single_device():
+    """The dp-sharded update must reproduce single-device math exactly."""
+    np.random.seed(0)
+    args = _args(o="mlp", c=None, double_q=True)
+    env = make_env(lambda: MultiUbsCoverageEnv(map_id="debug", record=False,
+                                               use_native=False), args)
+
+    learner_a = MultiAgentQLearner(env.get_env_info(), args, seed=7)
+    _fill(learner_a, env)
+    batch = learner_a.buffer.sample(args.batch_size, rng=np.random.default_rng(0))
+
+    np.random.seed(0)
+    env2 = make_env(lambda: MultiUbsCoverageEnv(map_id="debug", record=False,
+                                                use_native=False), args)
+    learner_b = MultiAgentQLearner(env2.get_env_info(), args, seed=7)
+    mesh = make_mesh(8, mp=1)
+    distribute_learner(learner_b, mesh)
+
+    import jax.numpy as jnp
+    key = jax.random.PRNGKey(3)
+
+    def run(learner, in_mesh=None):
+        dev_batch = learner._batch_to_device(batch)
+        params, targets, opt_state, metrics = learner._update_jit(
+            jax.tree_util.tree_map(jnp.asarray, learner.params),
+            jax.tree_util.tree_map(jnp.asarray, learner.target_params),
+            learner.opt_state, dev_batch, key, jnp.float32(1.0))
+        return metrics["LossQ"], params
+
+    loss_a, params_a = run(learner_a)
+    with mesh:
+        loss_b, params_b = run(learner_b)
+
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-5)
+    for xa, xb in zip(jax.tree_util.tree_leaves(params_a),
+                      jax.tree_util.tree_leaves(params_b)):
+        np.testing.assert_allclose(np.asarray(xa), np.asarray(xb), atol=1e-5)
+
+
+def test_param_sharding_rule():
+    params = {"w": np.zeros((16, 64)), "b": np.zeros((7,)), "s": np.float32(1.0)}
+    mesh = make_mesh(8, mp=2)
+    spec = shard_params_spec(params, mesh)
+    assert spec["w"] == jax.sharding.PartitionSpec(None, "mp")
+    assert spec["b"] == jax.sharding.PartitionSpec()   # 7 not divisible by 2
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)

@@ -14,8 +14,20 @@ import numpy as np
 
 def check_args_sanity(args):
     """Resolve device and enforce argument couplings."""
-    # Device selection is owned by JAX; keep the attribute for config.json parity.
-    if getattr(args, "device", None) not in (None, "cpu", "tpu", "cuda"):
+    device = getattr(args, "device", None)
+    if device not in (None, "cpu", "tpu", "cuda"):
+        args.device = device = "tpu"
+    if device == "cpu":
+        # Must win over the environment's default platform (e.g. a
+        # sitecustomize-registered TPU backend); only effective before the
+        # first backend initialization.
+        import jax
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+    elif device == "cuda":
+        # No CUDA here; the TPU is the accelerator.
         args.device = "tpu"
 
     if hasattr(args, "mixer") and args.mixer and not args.share_reward:

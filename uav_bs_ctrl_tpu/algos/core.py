@@ -88,6 +88,9 @@ class RecurrentQLearner:
 
         self._act_jit = jax.jit(self._act_fn)
         self._update_jit = jax.jit(self._update_fn, donate_argnums=(0, 1, 2))
+        # Batch placement hook; the parallel layer overrides this to shard
+        # sampled batches across the device mesh (see parallel.mesh).
+        self._batch_to_device = _to_device
 
     # ------------------------------------------------------------------ #
     # Acting
@@ -200,7 +203,7 @@ class RecurrentQLearner:
 
     def update(self):
         assert len(self.buffer) >= self.batch_size, "Insufficient samples for update."
-        batch = _to_device(self.buffer.sample(self.batch_size))
+        batch = self._batch_to_device(self.buffer.sample(self.batch_size))
         self._key, sub = jax.random.split(self._key)
         self.params, self.target_params, self.opt_state, metrics = self._update_jit(
             self.params, self.target_params, self.opt_state, batch, sub,

@@ -36,10 +36,15 @@ def colorize(string, color, bold=False, highlight=False):
 
 
 def proc_id() -> int:
-    """Host index (0 on single-host; jax.process_index on multi-host pods)."""
+    """Host index (0 on single-host; the distributed process id on pods).
+
+    Reads ``jax``'s distributed state WITHOUT touching ``jax.process_index()``
+    — that call initializes the backend, which must not happen before the
+    training entry point has had a chance to select the platform.
+    """
     try:
-        import jax
-        return jax.process_index()
+        from jax._src import distributed
+        return int(distributed.global_state.process_id or 0)
     except Exception:
         return 0
 
