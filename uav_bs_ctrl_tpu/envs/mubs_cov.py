@@ -165,7 +165,7 @@ class MultiUbsCoverageEnv(MultiAgentEnv):
         if self._native is not None:
             self.sched, self.rate_per_gt, self.rate_per_ubs = self._native.schedule_and_rate(
                 self.d_u2g, g, mask_itf, self.prior_gts, self.n_rbs, self.r_cov,
-                self.p_tx, self.bw * self.n0)
+                self.p_tx, self.bw * self.n0, self.bw)
         else:
             self._schedule_numpy(g, mask_itf)
 

@@ -37,7 +37,8 @@ def _load():
             ctypes.POINTER(ctypes.c_double),                      # gain  [n_ubs, n_gts]
             ctypes.POINTER(ctypes.c_uint8),                       # mask_itf [n_ubs, n_gts]
             ctypes.POINTER(ctypes.c_int64),                       # prior_gts [n_gts]
-            ctypes.c_double, ctypes.c_double, ctypes.c_double,    # r_cov, p_tx, noise
+            ctypes.c_double, ctypes.c_double,                     # r_cov, p_tx
+            ctypes.c_double, ctypes.c_double,                     # noise, bw
             ctypes.POINTER(ctypes.c_uint8),                       # out sched [n_ubs,n_gts,n_rbs]
             ctypes.POINTER(ctypes.c_float),                       # out rate_per_gt [n_gts]
             ctypes.POINTER(ctypes.c_float),                       # out rate_per_ubs [n_ubs]
@@ -52,7 +53,7 @@ def available() -> bool:
     return _load() is not None
 
 
-def schedule_and_rate(d_u2g, gain, mask_itf, prior_gts, n_rbs, r_cov, p_tx, noise):
+def schedule_and_rate(d_u2g, gain, mask_itf, prior_gts, n_rbs, r_cov, p_tx, noise, bw=180e3):
     """C++ twin of ``MultiUbsCoverageEnv._schedule_numpy``.
 
     Returns (sched [n_ubs, n_gts, n_rbs] bool, rate_per_gt [n_gts] f32,
@@ -76,7 +77,7 @@ def schedule_and_rate(d_u2g, gain, mask_itf, prior_gts, n_rbs, r_cov, p_tx, nois
         g.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         mi.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         pr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        float(r_cov), float(p_tx), float(noise),
+        float(r_cov), float(p_tx), float(noise), float(bw),
         sched.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         rate_gt.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         rate_ubs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
