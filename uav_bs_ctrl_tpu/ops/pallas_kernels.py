@@ -1,0 +1,158 @@
+"""Pallas TPU kernels for heterograph attention at swarm scale.
+
+``flash_gat``: fused GATv2 attention — score computation
+(``a . LeakyReLU(el + er)``), masked per-destination softmax, and weighted
+source aggregation — in one kernel with ONLINE (flash-style) softmax.  The
+XLA path materializes the ``[N, M, H]`` score/alpha tensors and the
+``[N, M, H, F]`` broadcast product in HBM; this kernel streams source blocks
+through VMEM and keeps only ``[TILE_N, H]`` running max/denominator and the
+``[TILE_N, H*F]`` accumulator on-chip, so HBM traffic drops from
+O(N*M*H*F) to O(N*M*(HF_src)) reads + O(N*HF) writes.
+
+Grid: (N / TILE_N, M / TILE_M); the M axis iterates innermost and
+sequentially on TPU, so VMEM scratch carries the online-softmax state across
+M blocks of the same destination tile.
+
+Semantics contract is identical to ``ops.masked.masked_softmax`` composed
+with the weighted sum in ``models.encoders.gatv2`` (all-masked rows -> 0),
+and is validated against that dense path in tests (interpret mode on CPU,
+compiled on TPU).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_BIG = -1e30
+
+
+def _flash_gat_kernel(el_ref, er_ref, attn_ref, mask_ref, out_ref,
+                      m_scr, l_scr, acc_scr, *, n_heads, negative_slope):
+    j = pl.program_id(1)
+    n_j = pl.num_programs(1)
+
+    el = el_ref[:]                    # [TN, TM, H*F]
+    er = er_ref[:]                    # [TN, H*F]
+    mask = mask_ref[:]                # [TN, TM] (float 0/1)
+    attn = attn_ref[:]                # [H, F]
+
+    tn, tm, hf = el.shape
+    f = hf // n_heads
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_BIG)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    # e = LeakyReLU(el + er): [TN, TM, H*F]
+    e = el + er[:, None, :]
+    e = jnp.where(e >= 0, e, negative_slope * e)
+
+    # Per-head scores s[n, m, h] = sum_f e[n, m, h, f] * attn[h, f].
+    e4 = e.reshape(tn, tm, n_heads, f)
+    scores = jnp.sum(e4 * attn[None, None, :, :], axis=-1)       # [TN, TM, H]
+    scores = jnp.where(mask[:, :, None] > 0, scores, _NEG_BIG)
+
+    m_old = m_scr[:]                                             # [TN, H]
+    m_blk = jnp.max(scores, axis=1)                              # [TN, H]
+    m_new = jnp.maximum(m_old, m_blk)
+    # Keep fully-masked rows at shift 0 to avoid inf - inf.
+    shift = jnp.where(m_new <= _NEG_BIG / 2, 0.0, m_new)
+
+    p = jnp.exp(scores - shift[:, None, :])                      # [TN, TM, H]
+    p = jnp.where(mask[:, :, None] > 0, p, 0.0)
+
+    scale = jnp.exp(jnp.where(m_old <= _NEG_BIG / 2, 0.0, m_old) - shift)  # [TN, H]
+
+    l_scr[:] = l_scr[:] * scale + jnp.sum(p, axis=1)
+
+    # Weighted aggregation of el (the message IS the transformed source):
+    # acc[n, h, f] += sum_m p[n, m, h] * el[n, m, h, f].
+    el4 = el.reshape(tn, tm, n_heads, f)
+    contrib = jnp.einsum("nmh,nmhf->nhf", p, el4,
+                         preferred_element_type=jnp.float32)
+    acc4 = acc_scr[:].reshape(tn, n_heads, f)
+    acc4 = acc4 * scale[:, :, None] + contrib
+    acc_scr[:] = acc4.reshape(tn, hf)
+    m_scr[:] = m_new
+
+    @pl.when(j == n_j - 1)
+    def _finalize():
+        denom = jnp.maximum(l_scr[:], 1e-30)                     # [TN, H]
+        out4 = acc_scr[:].reshape(tn, n_heads, f) / denom[:, :, None]
+        out_ref[:] = out4.reshape(tn, hf)
+
+
+@functools.partial(jax.jit, static_argnames=("n_heads", "negative_slope",
+                                             "tile_n", "tile_m", "interpret"))
+def flash_gat(el, er, attn, mask, n_heads, negative_slope=0.2,
+              tile_n=8, tile_m=128, interpret=False):
+    """Fused masked GATv2 attention + aggregation.
+
+    el:   [N, M, H*F] transformed source features per destination slot
+    er:   [N, H*F]    transformed destination features
+    attn: [H, F]      attention vector per head
+    mask: [N, M]      slot validity
+    Returns [N, H*F] = sum_m softmax_m(a . LeakyReLU(el + er)) * el.
+    """
+    n, m, hf = el.shape
+    assert hf % n_heads == 0
+
+    # Pad N and M to tile multiples (padded slots are masked out).
+    pad_n = (-n) % tile_n
+    pad_m = (-m) % tile_m
+    if pad_n or pad_m:
+        el = jnp.pad(el, ((0, pad_n), (0, pad_m), (0, 0)))
+        er = jnp.pad(er, ((0, pad_n), (0, 0)))
+        mask = jnp.pad(mask, ((0, pad_n), (0, pad_m)))
+    np_, mp_ = el.shape[0], el.shape[1]
+
+    mask_f = mask.astype(el.dtype)
+    grid = (np_ // tile_n, mp_ // tile_m)
+
+    out = pl.pallas_call(
+        functools.partial(_flash_gat_kernel, n_heads=n_heads,
+                          negative_slope=negative_slope),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_n, tile_m, hf), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, hf), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_heads, hf // n_heads), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, tile_m), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_n, hf), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((np_, hf), el.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tile_n, n_heads), jnp.float32),
+            pltpu.VMEM((tile_n, n_heads), jnp.float32),
+            pltpu.VMEM((tile_n, hf), jnp.float32),
+        ],
+        interpret=interpret,
+    )(el, er, attn, mask_f)
+
+    return out[:n]
+
+
+def flash_gat_reference(el, er, attn, mask, n_heads, negative_slope=0.2):
+    """Dense XLA twin of ``flash_gat`` (same contract, materialized scores)."""
+    n, m, hf = el.shape
+    f = hf // n_heads
+    e = el + er[:, None, :]
+    e = jnp.where(e >= 0, e, negative_slope * e)
+    scores = jnp.sum(e.reshape(n, m, n_heads, f) * attn, axis=-1)
+    scores = jnp.where(mask[:, :, None], scores, _NEG_BIG)
+    smax = jnp.max(scores, axis=1, keepdims=True)
+    smax = jnp.where(smax <= _NEG_BIG / 2, 0.0, smax)
+    p = jnp.where(mask[:, :, None], jnp.exp(scores - smax), 0.0)
+    denom = jnp.maximum(jnp.sum(p, axis=1), 1e-30)
+    ft = jnp.einsum("nmh,nmhf->nhf", p, el.reshape(n, m, n_heads, f)) / denom[:, :, None]
+    return ft.reshape(n, hf)
