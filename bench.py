@@ -103,11 +103,14 @@ def bench_tpu(n_timed=20):
                                                         batch, key, lr)
     _ = float(m["LossQ"])  # sync
 
+    # Updates chain through donated params, so one scalar fetch at the end
+    # fences the whole sequence (per-step fetches would add a tunnel
+    # round-trip to every update).
     t0 = time.perf_counter()
     for _ in range(n_timed):
         params, targets, opt_state, m = learner._update_jit(params, targets, opt_state,
                                                             batch, key, lr)
-        _ = float(m["LossQ"])
+    _ = float(m["LossQ"])
     dt = time.perf_counter() - t0
     per_update = dt / n_timed
     edges_per_s = EDGES_PER_UPDATE / per_update

@@ -175,7 +175,10 @@ class MultiUbsCoverageEnv(MultiAgentEnv):
         self.fair_idx = jain_fairness_index(self.avg_rate_per_gt)
         self.global_util = self.fair_idx * self.rate_per_gt.mean()
         self.avg_global_util = (self.avg_global_util * self.t + self.global_util) / (self.t + 1)
-        self.prior_gts = np.argsort(self.avg_rate_per_gt)
+        # Stable sort so the NumPy / C++ / JAX env implementations agree
+        # bitwise on rate ties (reference uses default quicksort; order on
+        # exact ties is the only difference).
+        self.prior_gts = np.argsort(self.avg_rate_per_gt, kind='stable')
 
     def _schedule_numpy(self, g, mask_itf):
         """Priority-ordered association with lowest-interference idle-RB pick.
@@ -191,7 +194,7 @@ class MultiUbsCoverageEnv(MultiAgentEnv):
         p_itf = np.zeros((n_ubs, n_gts, n_rbs), dtype=np.float32)
 
         for m in self.prior_gts:
-            nearest_ubs = np.argsort(self.d_u2g[:, m])
+            nearest_ubs = np.argsort(self.d_u2g[:, m], kind='stable')
             for i in nearest_ubs:
                 if (sched[i].sum() < n_rbs) and (self.d_u2g[i, m] <= self.r_cov):
                     occupied = np.where(sched[i].sum(0) > 0)

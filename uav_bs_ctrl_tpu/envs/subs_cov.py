@@ -147,7 +147,7 @@ class SingleUbsCoverageEnv:
         self.fair_idx = jain_fairness_index(self.aver_rate_per_gt)
         self.global_util = self.fair_idx * self.rate_per_gt.mean()
         self.avg_global_util = (self.avg_global_util * self.t + self.global_util) / (self.t + 1)
-        self.prior_gts = np.argsort(self.aver_rate_per_gt)
+        self.prior_gts = np.argsort(self.aver_rate_per_gt, kind='stable')
 
     def get_obs(self):
         own_feats = np.zeros(self.obs_own_feats_size, dtype=np.float32)

@@ -44,11 +44,17 @@ def gatv2_init(key, d_src, d_dst, n_heads, feats_per_head, dtype=jnp.float32):
     return params
 
 
-def gatv2(p, x_src, x_dst, mask, n_heads, negative_slope=0.2, activation=jax.nn.relu):
+def gatv2(p, x_src, x_dst, mask, n_heads, negative_slope=0.2, activation=jax.nn.relu,
+          backend="dense"):
     """Masked bipartite GATv2 with residual.
 
     x_src: [..., M, d_src] candidate source features per destination,
     x_dst: [..., d_dst], mask: [..., M] validity -> out [..., H*F].
+
+    backend: 'dense' (XLA masked softmax, default) or 'pallas' (fused
+    flash-style kernel from ``ops.pallas_kernels`` — preferable at swarm
+    scale where the materialized [.., M, H] score tensors dominate HBM
+    traffic).
     """
     feats = p["fc_src"]["w"].shape[1] // n_heads
     if x_src.shape[-2] == 0:
@@ -57,14 +63,28 @@ def gatv2(p, x_src, x_dst, mask, n_heads, negative_slope=0.2, activation=jax.nn.
         rst = linear(p["res_fc"], x_dst) if "res_fc" in p else x_dst
         return activation(rst) if activation is not None else rst
     el = linear(p["fc_src"], x_src)                       # [..., M, H*F]
-    er = linear(p["fc_dst"], x_dst)[..., None, :]         # [..., 1, H*F]
-    el_h = el.reshape(el.shape[:-1] + (n_heads, feats))
-    er_h = er.reshape(er.shape[:-1] + (n_heads, feats))
-    e = jax.nn.leaky_relu(el_h + er_h, negative_slope)     # [..., M, H, F]
-    scores = jnp.sum(e * p["attn"], axis=-1)               # [..., M, H]
-    alpha = masked_softmax(scores, mask[..., None], axis=-2)
-    ft = jnp.sum(alpha[..., None] * el_h, axis=-3)         # [..., H, F]
-    rst = ft.reshape(ft.shape[:-2] + (n_heads * feats,))
+    er = linear(p["fc_dst"], x_dst)                       # [..., H*F]
+
+    if backend == "pallas":
+        from uav_bs_ctrl_tpu.ops.pallas_kernels import flash_gat
+        batch_shape = el.shape[:-2]
+        m = el.shape[-2]
+        hf = el.shape[-1]
+        el2 = el.reshape((-1, m, hf))
+        er2 = er.reshape((-1, hf))
+        mask2 = jnp.broadcast_to(mask, batch_shape + (m,)).reshape((-1, m))
+        ft_flat = flash_gat(el2, er2, p["attn"], mask2, n_heads,
+                            negative_slope=negative_slope)
+        rst = ft_flat.reshape(batch_shape + (hf,))
+    else:
+        el_h = el.reshape(el.shape[:-1] + (n_heads, feats))
+        er_h = er[..., None, :].reshape(er.shape[:-1] + (1, n_heads, feats))
+        e = jax.nn.leaky_relu(el_h + er_h, negative_slope)     # [..., M, H, F]
+        scores = jnp.sum(e * p["attn"], axis=-1)               # [..., M, H]
+        alpha = masked_softmax(scores, mask[..., None], axis=-2)
+        ft = jnp.sum(alpha[..., None] * el_h, axis=-3)         # [..., H, F]
+        rst = ft.reshape(ft.shape[:-2] + (n_heads * feats,))
+
     if "res_fc" in p:
         rst = rst + linear(p["res_fc"], x_dst)
     else:
@@ -106,6 +126,7 @@ class GraphObservationEncoder:
         self.d_ubs = obs_shape["ubs"]
         self.hidden = args.hidden_size
         self.n_heads = args.n_heads
+        self.backend = getattr(args, "gat_backend", "dense")
         assert self.hidden % self.n_heads == 0
         self.feats_per_head = self.hidden // self.n_heads
 
@@ -120,7 +141,9 @@ class GraphObservationEncoder:
     def apply(self, p, obs):
         gt_mask = obs["gt"][..., 0] > 0
         ubs_mask = obs["ubs"][..., 0] > 0
-        x_gt = gatv2(p["seen"], obs["gt"][..., 1:], obs["agent"], gt_mask, self.n_heads)
-        x_ubs = gatv2(p["near"], obs["ubs"][..., 1:], obs["agent"], ubs_mask, self.n_heads)
+        x_gt = gatv2(p["seen"], obs["gt"][..., 1:], obs["agent"], gt_mask,
+                     self.n_heads, backend=self.backend)
+        x_ubs = gatv2(p["near"], obs["ubs"][..., 1:], obs["agent"], ubs_mask,
+                      self.n_heads, backend=self.backend)
         x = jnp.concatenate([x_gt, x_ubs], axis=-1)
         return jax.nn.relu(linear(p["aggr"], x))
