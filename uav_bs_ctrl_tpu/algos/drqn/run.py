@@ -18,6 +18,7 @@ from uav_bs_ctrl_tpu.algos.drqn.config import DEFAULT_CONFIG
 from uav_bs_ctrl_tpu.algos.drqn.learner import QLearner
 from uav_bs_ctrl_tpu.algos.drqn.wrappers import make_env
 from uav_bs_ctrl_tpu.utils.logx import EpochLogger
+from uav_bs_ctrl_tpu.utils.profiling import StepTimer, trace
 
 
 def train(env_fn, env_kwargs, seed, train_kwargs=dict(), logger_kwargs=dict()):
@@ -61,12 +62,15 @@ def train(env_fn, env_kwargs, seed, train_kwargs=dict(), logger_kwargs=dict()):
                                                   f'epoch{epoch}_episode{n}'))
 
     episode = 0
+    timer = StepTimer()
     start_time = time.time()
     o, h = env.reset(), learner.init_hidden()
 
     for t in range(total_steps):
-        a, h2 = learner.act(o, h, eps_thres(t))
-        o2, r, d, info = env.step(a[0])
+        with timer.phase('Act'):
+            a, h2 = learner.act(o, h, eps_thres(t))
+        with timer.phase('Env'):
+            o2, r, d, info = env.step(a[0])
         learner.cache(o, h, a[0], r, o2, h2, d, info.get("BadMask"))
         o, h = o2, h2
 
@@ -76,7 +80,8 @@ def train(env_fn, env_kwargs, seed, train_kwargs=dict(), logger_kwargs=dict()):
             o, h = env.reset(), learner.init_hidden()
 
         if (t >= update_after) and (t % update_every == 0):
-            diagnostic = learner.update()
+            with timer.phase('Update'):
+                diagnostic = learner.update()
             logger.store(**diagnostic)
 
         if (t + 1) % args.steps_per_epoch == 0:
@@ -97,6 +102,10 @@ def train(env_fn, env_kwargs, seed, train_kwargs=dict(), logger_kwargs=dict()):
             logger.log_tabular('TestEpRet', with_min_and_max=True)
             logger.log_tabular('TotalEnvInteracts', t + 1)
             logger.log_tabular('LossQ', average_only=True)
+            times = timer.flush()
+            logger.log_tabular('TimeActMs', times.get('TimeActMs', 0.0))
+            logger.log_tabular('TimeEnvMs', times.get('TimeEnvMs', 0.0))
+            logger.log_tabular('TimeUpdateMs', times.get('TimeUpdateMs', 0.0))
             logger.log_tabular('Time', time.time() - start_time)
             logger.dump_tabular()
 

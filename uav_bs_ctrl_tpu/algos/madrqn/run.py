@@ -22,6 +22,7 @@ from uav_bs_ctrl_tpu.algos.madrqn.config import DEFAULT_CONFIG
 from uav_bs_ctrl_tpu.algos.madrqn.learner import MultiAgentQLearner
 from uav_bs_ctrl_tpu.algos.madrqn.wrappers import make_env
 from uav_bs_ctrl_tpu.utils.logx import EpochLogger
+from uav_bs_ctrl_tpu.utils.profiling import StepTimer, trace
 
 
 def train(env_fn, env_kwargs, seed, train_kwargs=dict(), logger_kwargs=dict()):
@@ -67,12 +68,15 @@ def train(env_fn, env_kwargs, seed, train_kwargs=dict(), logger_kwargs=dict()):
                                                   f'epoch{epoch}_episode{n}'))
 
     episode = 0
+    timer = StepTimer()
     start_time = time.time()
     (o, s), h = env.reset(), learner.init_hidden()
 
     for t in range(total_steps):
-        a, h2 = learner.act(o, h, eps_thres(t))
-        o2, s2, r, d, info = env.step(a)
+        with timer.phase('Act'):
+            a, h2 = learner.act(o, h, eps_thres(t))
+        with timer.phase('Env'):
+            o2, s2, r, d, info = env.step(a)
         learner.cache(o, h, s, a, r, o2, h2, s2, d, info.get("BadMask"))
         o, s, h = o2, s2, h2
 
@@ -82,7 +86,8 @@ def train(env_fn, env_kwargs, seed, train_kwargs=dict(), logger_kwargs=dict()):
             (o, s), h = env.reset(), learner.init_hidden()
 
         if (t >= update_after) and (t % update_every == 0):
-            diagnostic = learner.update()
+            with timer.phase('Update'):
+                diagnostic = learner.update()
             logger.store(**diagnostic)
 
         if (t + 1) % args.steps_per_epoch == 0:
@@ -104,6 +109,10 @@ def train(env_fn, env_kwargs, seed, train_kwargs=dict(), logger_kwargs=dict()):
             logger.log_tabular('TestEpRet', with_min_and_max=True)
             logger.log_tabular('TotalEnvInteracts', t + 1)
             logger.log_tabular('LossQ', average_only=True)
+            times = timer.flush()
+            logger.log_tabular('TimeActMs', times.get('TimeActMs', 0.0))
+            logger.log_tabular('TimeEnvMs', times.get('TimeEnvMs', 0.0))
+            logger.log_tabular('TimeUpdateMs', times.get('TimeUpdateMs', 0.0))
             logger.log_tabular('Time', time.time() - start_time)
             logger.dump_tabular()
 
