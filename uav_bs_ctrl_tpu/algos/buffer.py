@@ -67,6 +67,25 @@ class SequenceReplayBuffer:
         self._write_ptr = (self._write_ptr + 1) % self.capacity
         self._size = min(self._size + 1, self.capacity)
 
+    def push_chunks(self, chunks: dict):
+        """Write a batch of completed chunks at once (device-collected path).
+
+        ``chunks`` is a pytree with leaves [B, T(+1), ...] — the layout
+        produced by ``algos.collect.collect_chunk``.
+        """
+        chunks = jax.tree_util.tree_map(np.asarray, chunks)
+        n_new = jax.tree_util.tree_leaves(chunks)[0].shape[0]
+
+        if self._storage is None:
+            self._storage = jax.tree_util.tree_map(
+                lambda x: np.zeros((self.capacity,) + x.shape[1:], x.dtype), chunks)
+
+        idx = (self._write_ptr + np.arange(n_new)) % self.capacity
+        jax.tree_util.tree_map(lambda store, x: store.__setitem__(idx, x),
+                               self._storage, chunks)
+        self._write_ptr = (self._write_ptr + n_new) % self.capacity
+        self._size = min(self._size + n_new, self.capacity)
+
     def sample(self, batch_size: int, rng=None) -> dict:
         """Uniformly sample chunks -> pytree with leaves [B, T(+1), ...]."""
         rng = rng if rng is not None else np.random
