@@ -135,28 +135,41 @@ def _jain(x):
 
 
 def _schedule(params: EnvParams, d_u2g, gain, prior_gts):
-    """Priority/interference-aware RB assignment (sequential over GTs)."""
+    """Priority/interference-aware RB assignment (sequential over GTs).
+
+    All dynamic indexing is expressed as one-hot mask algebra (no
+    scatter/gather ops) so the vmapped loop body lowers to dense vector work
+    the VPU handles well — scatters across hundreds of vmapped worlds were
+    the throughput bottleneck of the naive formulation.
+    """
     N, M, R = params.n_ubs, params.n_gts, params.n_rbs
+    prior_oh = jax.nn.one_hot(prior_gts, M, dtype=d_u2g.dtype)   # [M, M]
 
     def body(pm, carry):
         used_rbs, rb_occ, p_itf, sched = carry
-        m = prior_gts[pm]
-        d_col = d_u2g[:, m]                                      # [N]
+        m_oh = prior_oh[pm]                                      # [M] one-hot of GT m
+        d_col = d_u2g @ m_oh                                     # [N]
         eligible = (used_rbs < R) & (d_col <= params.r_cov)
         i = jnp.argmin(jnp.where(eligible, d_col, _INF))         # nearest eligible
         ok = eligible.any()
+        i_oh = jax.nn.one_hot(i, N, dtype=d_u2g.dtype) * ok      # [N]
 
-        itf_per_chan = p_itf[:, m, :].sum(0)                     # [R]
-        occ_i = rb_occ[i]                                        # [R]
-        c = jnp.argmin(jnp.where(occ_i, _INF, itf_per_chan))     # least-itf idle RB
+        itf_per_chan = jnp.einsum("nmr,m->r", p_itf, m_oh)       # [R]
+        occ_i = jnp.einsum("nr,n->r", rb_occ.astype(d_u2g.dtype), i_oh)  # [R]
+        c = jnp.argmin(jnp.where(occ_i > 0, _INF, itf_per_chan))
+        c_oh = jax.nn.one_hot(c, R, dtype=d_u2g.dtype)           # [R]
 
-        sched = sched.at[i, m, c].set(sched[i, m, c] | ok)
-        rb_occ = rb_occ.at[i, c].set(rb_occ[i, c] | ok)
-        used_rbs = used_rbs.at[i].add(jnp.where(ok, 1, 0))
+        hit_nr = i_oh[:, None] * c_oh[None, :]                   # [N, R]
+        sched = sched | (hit_nr[:, None, :] * m_oh[None, :, None] > 0)
+        rb_occ = rb_occ | (hit_nr > 0)
+        used_rbs = used_rbs + (i_oh > 0)
+
         # UBS i radiates on RB c to covered GTs, except the served one.
-        row = jnp.where(d_u2g[i] <= params.r_cov, params.p_tx * gain[i], 0.0)
-        row = row.at[m].set(0.0)
-        p_itf = p_itf.at[i, :, c].set(jnp.where(ok, row, p_itf[i, :, c]))
+        d_i = jnp.einsum("nm,n->m", d_u2g, i_oh)                 # [M]
+        g_i = jnp.einsum("nm,n->m", gain.astype(d_u2g.dtype), i_oh)
+        row = jnp.where(d_i <= params.r_cov, params.p_tx * g_i, 0.0) * (1 - m_oh)
+        mask3 = hit_nr[:, None, :]                               # [N, 1, R]
+        p_itf = p_itf * (1 - mask3) + mask3 * row[None, :, None]
         return used_rbs, rb_occ, p_itf, sched
 
     init = (jnp.zeros(N, jnp.int32), jnp.zeros((N, R), bool),
