@@ -1,0 +1,58 @@
+"""Kernel micro-benchmark: Pallas flash-GAT vs XLA dense at swarm scale.
+
+Usage: python benchmarks/bench_kernels.py [--rows 4096] [--slots 800]
+
+Compares the fused online-softmax Pallas kernel against the materialized XLA
+path on the 'seen' relation at scaled swarm sizes (rows = B*A destinations,
+slots = padded GT neighborhood size).  Timings are closed with scalar host
+fetches (the tunneled chip does not fence on block_until_ready).
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from uav_bs_ctrl_tpu.ops.pallas_kernels import flash_gat, flash_gat_reference
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=4096, help="B*A destination rows")
+    ap.add_argument("--slots", type=int, default=800, help="padded neighborhood size")
+    ap.add_argument("--heads", type=int, default=4)
+    ap.add_argument("--feats", type=int, default=64, help="feats per head")
+    ap.add_argument("--reps", type=int, default=20)
+    args = ap.parse_args()
+
+    n, m, h, f = args.rows, args.slots, args.heads, args.feats
+    hf = h * f
+    rng = np.random.default_rng(0)
+    el = jnp.asarray(rng.normal(size=(n, m, hf)).astype(np.float32))
+    er = jnp.asarray(rng.normal(size=(n, hf)).astype(np.float32))
+    attn = jnp.asarray(rng.normal(size=(h, f)).astype(np.float32))
+    mask = jnp.asarray(rng.random((n, m)) > 0.3)
+
+    edges = n * m
+
+    ref_fn = jax.jit(lambda: flash_gat_reference(el, er, attn, mask, h))
+    pal_fn = jax.jit(lambda: flash_gat(el, er, attn, mask, h))
+
+    for name, fn in [("xla-dense", ref_fn), ("pallas-flash", pal_fn)]:
+        out = fn()
+        checksum = float(jnp.sum(out))  # sync + warmup
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            out = fn()
+        _ = float(jnp.sum(out))
+        dt = time.perf_counter() - t0
+        per = dt / args.reps
+        print(f"{name:14s}: {per * 1e3:8.2f} ms/call  "
+              f"{edges / per / 1e9:8.2f} Gedges/s  (checksum {checksum:.1f})")
+
+
+if __name__ == "__main__":
+    main()

@@ -18,6 +18,7 @@ DEFAULT_CONFIG = {
     'key_size': 16,
     'n_rounds': 1,
     'embed_dim': 32,       # QMixer embedding dim
+    'gat_backend': 'dense',  # 'dense' (XLA) or 'pallas' (flash kernel, swarm scale)
 
     # Basic training hyperparameters
     'lr': 5e-4,
