@@ -9,7 +9,11 @@ Measures env steps/s for:
 """
 
 import argparse
+import os.path as osp
+import sys
 import time
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 from types import SimpleNamespace as SN
 
 import numpy as np

@@ -9,7 +9,11 @@ fetches (the tunneled chip does not fence on block_until_ready).
 """
 
 import argparse
+import os.path as osp
+import sys
 import time
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 import numpy as np
 
