@@ -34,11 +34,13 @@ def main():
 
     n, m, h, f = args.rows, args.slots, args.heads, args.feats
     hf = h * f
-    rng = np.random.default_rng(0)
-    el = jnp.asarray(rng.normal(size=(n, m, hf)).astype(np.float32))
-    er = jnp.asarray(rng.normal(size=(n, hf)).astype(np.float32))
-    attn = jnp.asarray(rng.normal(size=(h, f)).astype(np.float32))
-    mask = jnp.asarray(rng.random((n, m)) > 0.3)
+    # Generate ON DEVICE: pushing GB-scale test tensors through the dev
+    # tunnel would dominate the measurement.
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    el = jax.random.normal(ks[0], (n, m, hf), jnp.float32)
+    er = jax.random.normal(ks[1], (n, hf), jnp.float32)
+    attn = jax.random.normal(ks[2], (h, f), jnp.float32)
+    mask = jax.random.uniform(ks[3], (n, m)) > 0.3
 
     edges = n * m
 

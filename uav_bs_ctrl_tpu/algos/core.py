@@ -25,7 +25,6 @@ Exact reference semantics preserved:
 """
 
 import pickle
-from functools import partial
 
 import numpy as np
 
@@ -34,7 +33,6 @@ import jax.numpy as jnp
 import optax
 
 from uav_bs_ctrl_tpu.algos.buffer import SequenceReplayBuffer
-from uav_bs_ctrl_tpu.models.agents import GnnAgent, RnnAgent, DrqnGnnAgent, build_agent
 from uav_bs_ctrl_tpu.models.heads import QMixer
 
 

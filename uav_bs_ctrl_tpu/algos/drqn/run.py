@@ -18,7 +18,7 @@ from uav_bs_ctrl_tpu.algos.drqn.config import DEFAULT_CONFIG
 from uav_bs_ctrl_tpu.algos.drqn.learner import QLearner
 from uav_bs_ctrl_tpu.algos.drqn.wrappers import make_env
 from uav_bs_ctrl_tpu.utils.logx import EpochLogger
-from uav_bs_ctrl_tpu.utils.profiling import StepTimer, trace
+from uav_bs_ctrl_tpu.utils.profiling import StepTimer
 
 
 def train(env_fn, env_kwargs, seed, train_kwargs=dict(), logger_kwargs=dict()):

@@ -14,7 +14,6 @@ from copy import deepcopy
 from functools import partial
 from types import SimpleNamespace as SN
 
-import numpy as np
 import pandas as pd
 
 from uav_bs_ctrl_tpu.algos.common import check_args_sanity, set_rand_seed
@@ -22,7 +21,7 @@ from uav_bs_ctrl_tpu.algos.madrqn.config import DEFAULT_CONFIG
 from uav_bs_ctrl_tpu.algos.madrqn.learner import MultiAgentQLearner
 from uav_bs_ctrl_tpu.algos.madrqn.wrappers import make_env
 from uav_bs_ctrl_tpu.utils.logx import EpochLogger
-from uav_bs_ctrl_tpu.utils.profiling import StepTimer, trace
+from uav_bs_ctrl_tpu.utils.profiling import StepTimer
 
 
 def train(env_fn, env_kwargs, seed, train_kwargs=dict(), logger_kwargs=dict()):

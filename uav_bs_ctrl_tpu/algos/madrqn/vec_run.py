@@ -22,7 +22,6 @@ inside the collection scan.
 import copy
 import os.path as osp
 import time
-from functools import partial
 from types import SimpleNamespace as SN
 
 import numpy as np

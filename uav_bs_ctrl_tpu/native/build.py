@@ -1,6 +1,5 @@
 """Build the native runtime library: ``python -m uav_bs_ctrl_tpu.native.build``."""
 
-import os
 import os.path as osp
 import subprocess
 import sys

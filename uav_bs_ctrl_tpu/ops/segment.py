@@ -19,8 +19,6 @@ All-masked destinations produce 0, matching ``ops.masked`` and DGL's
 zero-in-degree semantics.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

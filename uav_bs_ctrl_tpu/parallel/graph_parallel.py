@@ -15,11 +15,9 @@ local.
 (dense backend) and is validated against it on the virtual 8-device mesh.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from uav_bs_ctrl_tpu.models.modules import linear
