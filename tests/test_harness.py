@@ -112,3 +112,34 @@ def test_end_to_end_train_eval_curves(tmp_path):
                            "AverageEpRet", curves_out)
     assert osp.exists(osp.join(curves_out, "TotalEnvInteracts_vs_AverageEpRet.csv"))
     assert df.shape[0] == 1  # one epoch row
+
+
+@pytest.mark.slow
+def test_experiment_grid_subprocess_isolation(tmp_path):
+    """A 1-variant grid must run through the pickled-thunk subprocess path."""
+    from uav_bs_ctrl_tpu.utils.run_utils import ExperimentGrid
+    from uav_bs_ctrl_tpu.algos.drqn.run import train as drqn_train
+    from uav_bs_ctrl_tpu.envs.subs_cov import SingleUbsCoverageEnv
+
+    eg = ExperimentGrid(name="mini_grid")
+    eg.add("seed", [0])
+    eg.add("env_fn", SingleUbsCoverageEnv)
+    eg.add("env_kwargs:n_grps", [2], "grp")
+    eg.add("env_kwargs:gts_per_grp", 1, "size")
+    eg.add("env_kwargs:episode_limit", 10)
+    eg.add("train_kwargs:device", "cpu")
+    eg.add("train_kwargs:agent", "rnn", "")
+    eg.add("train_kwargs:hidden_size", 16)
+    eg.add("train_kwargs:steps_per_epoch", 60)
+    eg.add("train_kwargs:epochs", 1)
+    eg.add("train_kwargs:update_after", 20)
+    eg.add("train_kwargs:max_seq_len", 5)
+    eg.add("train_kwargs:batch_size", 4)
+    eg.add("train_kwargs:num_test_episodes", 1)
+    eg.add("train_kwargs:save_freq", 5)
+    eg.run(drqn_train, num_cpu=1, data_dir=str(tmp_path), datestamp=False)
+
+    # n_grps has a single value and in_name=False, so it stays out of the name.
+    run_dir = osp.join(str(tmp_path), "mini_grid", "mini_grid_s0")
+    assert osp.exists(osp.join(run_dir, "progress.txt"))
+    assert osp.exists(osp.join(run_dir, "config.json"))

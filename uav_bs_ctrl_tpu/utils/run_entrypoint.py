@@ -1,9 +1,18 @@
 """Subprocess entry point: decode and execute a pickled experiment thunk
-(parity: reference ``utils/run_entrypoint.py``)."""
+(parity: reference ``utils/run_entrypoint.py``).
+
+The repo root must be importable before unpickling — cloudpickle references
+``uav_bs_ctrl_tpu.*`` modules by path.
+"""
 
 import base64
+import os
 import pickle
+import sys
 import zlib
+
+BASE_DIR = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, BASE_DIR)
 
 if __name__ == '__main__':
     import argparse
