@@ -194,3 +194,19 @@ def test_q_learning_converges_on_constant_reward():
     losses = [learner.update()["LossQ"] for _ in range(60)]
     assert losses[-1] < losses[0]
     assert losses[-1] < 0.05
+
+
+def test_checkpoint_orbax_roundtrip(tmp_path):
+    """Orbax directory backend round-trips the same pytrees as pickle."""
+    from uav_bs_ctrl_tpu.utils import checkpoint as ckpt_io
+    tree = {"epoch": 3, "t": 42,
+            "model_state_dict": {"w": np.arange(6, dtype=np.float32).reshape(2, 3),
+                                 "nested": {"b": np.ones(4)}}}
+    path = str(tmp_path / "ckpt_orbax")
+    ckpt_io.save(path, tree)
+    back = ckpt_io.load(path)
+    assert back["epoch"] == 3 and back["t"] == 42
+    np.testing.assert_array_equal(back["model_state_dict"]["w"],
+                                  tree["model_state_dict"]["w"])
+    np.testing.assert_array_equal(back["model_state_dict"]["nested"]["b"],
+                                  tree["model_state_dict"]["nested"]["b"])

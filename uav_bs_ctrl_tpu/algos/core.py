@@ -24,8 +24,6 @@ Exact reference semantics preserved:
   end by the caller (``run.py`` via ``cache``).
 """
 
-import pickle
-
 import numpy as np
 
 import jax
@@ -34,6 +32,7 @@ import optax
 
 from uav_bs_ctrl_tpu.algos.buffer import SequenceReplayBuffer
 from uav_bs_ctrl_tpu.models.heads import QMixer
+from uav_bs_ctrl_tpu.utils import checkpoint as ckpt_io
 
 
 def _tree_copy(tree):
@@ -218,22 +217,20 @@ class RecurrentQLearner:
     # Checkpointing
 
     def save_checkpoint(self, path, stamp):
-        to_np = lambda tree: jax.tree_util.tree_map(np.asarray, tree)
+        """Persist model/optimizer state (pickle ``.pt`` or Orbax directory)."""
         checkpoint = dict(stamp)
-        checkpoint["model_state_dict"] = to_np(self.params["net"])
-        checkpoint["optimizer_state_dict"] = to_np(self.opt_state)
+        checkpoint["model_state_dict"] = self.params["net"]
+        checkpoint["optimizer_state_dict"] = self.opt_state
         if self.mixer is not None:
-            checkpoint["mixer_state_dict"] = to_np(self.params["mixer"])
+            checkpoint["mixer_state_dict"] = self.params["mixer"]
         if self.anneal_lr:
             checkpoint["lr_scheduler_state_dict"] = dict(epoch=self._epoch,
                                                          lr_scale=self.lr_scale)
-        with open(path, "wb") as f:
-            pickle.dump(checkpoint, f)
+        ckpt_io.save(path, checkpoint)
         print(f"Save checkpoint to {path}.")
 
     def load_checkpoint(self, path):
-        with open(path, "rb") as f:
-            checkpoint = pickle.load(f)
+        checkpoint = ckpt_io.load(path)
         stamp = dict(epoch=checkpoint["epoch"], t=checkpoint["t"])
         self.params["net"] = _to_device(checkpoint["model_state_dict"])
         if self.mixer is not None:
