@@ -143,3 +143,16 @@ def test_experiment_grid_subprocess_isolation(tmp_path):
     run_dir = osp.join(str(tmp_path), "mini_grid", "mini_grid_s0")
     assert osp.exists(osp.join(run_dir, "progress.txt"))
     assert osp.exists(osp.join(run_dir, "config.json"))
+
+
+def test_grid_fail_fast_false_continues(tmp_path):
+    """With fail_fast=False a crashing variant doesn't abort the grid."""
+    from uav_bs_ctrl_tpu.utils.run_utils import ExperimentGrid
+
+    def boom(**kwargs):
+        raise RuntimeError("variant failed")
+
+    eg = ExperimentGrid(name="boom_grid")
+    eg.add("seed", [0, 1])
+    failures = eg.run(boom, data_dir=str(tmp_path), fail_fast=False)
+    assert failures == ["boom_grid", "boom_grid"]

@@ -110,3 +110,47 @@ def test_on_device_rollout_with_policy():
     assert rews.shape == (10, params.n_ubs)
     assert int(state.t) == 10
     assert np.isfinite(np.asarray(rews)).all()
+
+
+def test_subs_jax_env_parity():
+    """Jittable single-UBS env matches the NumPy env step-by-step."""
+    from uav_bs_ctrl_tpu.envs import jax_env_subs
+    from uav_bs_ctrl_tpu.envs.subs_cov import SingleUbsCoverageEnv
+
+    np.random.seed(0)
+    env = SingleUbsCoverageEnv(n_grps=2, gts_per_grp=3, episode_limit=30,
+                               record=False)
+    env.reset()
+
+    params = jax_env_subs.make_params(n_grps=2, gts_per_grp=3, episode_limit=30)
+    state = jax_env_subs.reset_from_positions(params, env.pos_ubs, env.pos_gts,
+                                              jax.random.PRNGKey(0))
+    # Re-run both initial service passes from identical priorities.
+    pri = env.prior_gts.copy()
+    env.aver_rate_per_gt = np.zeros(env.n_gts, dtype=np.float32)
+    env.total_throughput = 0
+    env.avg_global_util = 0
+    env.prior_gts = pri
+    env._transmit_data()
+    state = jax_env_subs._transmit(params, state._replace(
+        prior_gts=jnp.asarray(pri, jnp.int32),
+        aver_rate_per_gt=jnp.zeros(params.n_gts),
+        total_throughput=jnp.float32(0), avg_global_util=jnp.float32(0)))
+
+    np.testing.assert_allclose(np.asarray(state.rate_per_gt), env.rate_per_gt,
+                               rtol=1e-5, atol=1e-6)
+
+    rng = np.random.default_rng(1)
+    for t in range(10):
+        a = int(rng.integers(env.n_actions))
+        obs_np, rew_np, done_np, info = env.step(a)
+        state, obs_j, rew_j, done_j = jax_env_subs.step(params, state, a)
+        np.testing.assert_allclose(float(rew_j), rew_np, rtol=1e-4, atol=1e-6,
+                                   err_msg=f"reward @t={t}")
+        np.testing.assert_allclose(np.asarray(state.prior_gts), env.prior_gts,
+                                   err_msg=f"priorities @t={t}")
+        np.testing.assert_allclose(np.asarray(obs_j["gt"][0]), obs_np["gt"],
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(obs_j["agent"][0]), obs_np["agent"],
+                                   rtol=1e-5, atol=1e-6)
+        assert bool(done_j) == done_np

@@ -227,8 +227,15 @@ class ExperimentGrid:
 
         return [unflatten_var(var) for var in flat_variants]
 
-    def run(self, thunk, num_cpu=1, data_dir=None, datestamp=False):
-        """Launch every variant serially, each in a fresh subprocess."""
+    def run(self, thunk, num_cpu=1, data_dir=None, datestamp=False,
+            fail_fast=True):
+        """Launch every variant serially, each in a fresh subprocess.
+
+        ``fail_fast=False`` records crashed variants and keeps going instead
+        of aborting the whole grid (the reference aborts on the first
+        ``CalledProcessError``; see SURVEY.md §5 failure-detection notes) and
+        reports the failures at the end.
+        """
         self.print()
         variants = self.variants()
         var_names = sorted({self.variant_name(var) for var in variants})
@@ -240,6 +247,7 @@ class ExperimentGrid:
         if WAIT_BEFORE_LAUNCH > 0:
             time.sleep(WAIT_BEFORE_LAUNCH)
 
+        failures = []
         for var in variants:
             exp_name = self.variant_name(var)
             if isinstance(thunk, str):
@@ -247,8 +255,19 @@ class ExperimentGrid:
                 del var[thunk]
             else:
                 thunk_ = thunk
-            call_experiment(exp_name, thunk_, num_cpu=num_cpu,
-                            data_dir=data_dir, datestamp=datestamp, **var)
+            try:
+                call_experiment(exp_name, thunk_, num_cpu=num_cpu,
+                                data_dir=data_dir, datestamp=datestamp, **var)
+            except CalledProcessError:
+                if fail_fast:
+                    raise
+                failures.append(exp_name)
+                print(colorize(f"Variant {exp_name} FAILED; continuing.",
+                               color='red', bold=True))
+        if failures:
+            print(colorize("Failed variants:\n  " + "\n  ".join(failures),
+                           color='red', bold=True))
+        return failures
 
 
 def test_eg():
