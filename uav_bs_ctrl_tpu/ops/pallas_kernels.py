@@ -72,9 +72,11 @@ def _flash_gat_kernel(el_ref, er_ref, attn_ref, mask_ref, out_ref,
 
     # Weighted aggregation of el (the message IS the transformed source):
     # acc[n, h, f] += sum_m p[n, m, h] * el[n, m, h, f].
+    # NOTE: expressed as broadcast-multiply + axis reduction, NOT a batched
+    # dot_general — Mosaic's TPU lowering rejects dots with multiple batch /
+    # non-contracting dims (TPU_DotDimensionNumbersAttr parse failure).
     el4 = el.reshape(tn, tm, n_heads, f)
-    contrib = jnp.einsum("nmh,nmhf->nhf", p, el4,
-                         preferred_element_type=jnp.float32)
+    contrib = jnp.sum(p[..., None] * el4, axis=1)
     acc4 = acc_scr[:].reshape(tn, n_heads, f)
     acc4 = acc4 * scale[:, :, None] + contrib
     acc_scr[:] = acc4.reshape(tn, hf)
