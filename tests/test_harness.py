@@ -156,3 +156,23 @@ def test_grid_fail_fast_false_continues(tmp_path):
     eg.add("seed", [0, 1])
     failures = eg.run(boom, data_dir=str(tmp_path), fail_fast=False)
     assert failures == ["boom_grid", "boom_grid"]
+
+
+def test_profiler_trace_and_timer(tmp_path):
+    """jax.profiler trace context writes a trace; StepTimer reports phases."""
+    import jax.numpy as jnp
+    from uav_bs_ctrl_tpu.utils.profiling import StepTimer, trace
+
+    logdir = str(tmp_path / "trace")
+    with trace(logdir):
+        _ = jnp.ones((8, 8)) @ jnp.ones((8, 8))
+    assert os.path.isdir(logdir) and len(os.listdir(logdir)) > 0
+
+    timer = StepTimer()
+    with timer.phase("Act"):
+        pass
+    with timer.phase("Act"):
+        pass
+    out = timer.flush()
+    assert "TimeActMs" in out and out["TimeActMs"] >= 0
+    assert timer.flush() == {}

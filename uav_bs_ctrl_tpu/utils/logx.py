@@ -50,11 +50,15 @@ def proc_id() -> int:
 
 
 def statistics_scalar(x, with_min_and_max=False):
-    """Mean/std (and optional min/max) of a list/array of scalars.
+    """Mean/std (and optional min/max) of scalar samples.
 
-    On multi-host deployments these are per-host statistics; cross-host
-    aggregation happens in the distributed layer (``parallel.dist``).
+    Multi-host deployments aggregate across hosts via ``parallel.dist``
+    (replacing the reference's ``mpi_statistics_scalar``); single-host stays
+    pure NumPy with no jax involvement.
     """
+    if proc_id() != 0 or _multihost():
+        from uav_bs_ctrl_tpu.parallel.dist import dist_statistics_scalar
+        return dist_statistics_scalar(x, with_min_and_max=with_min_and_max)
     x = np.array(x, dtype=np.float32)
     mean = x.mean() if x.size else 0.0
     std = np.sqrt(np.mean((x - mean) ** 2)) if x.size else 0.0
@@ -63,6 +67,14 @@ def statistics_scalar(x, with_min_and_max=False):
         mx = x.max() if x.size else -np.inf
         return mean, std, mn, mx
     return mean, std
+
+
+def _multihost() -> bool:
+    try:
+        from jax._src import distributed
+        return (distributed.global_state.num_processes or 1) > 1
+    except Exception:
+        return False
 
 
 class Logger:
