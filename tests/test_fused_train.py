@@ -1,0 +1,47 @@
+"""Fully-fused training iteration: device replay + single-program updates."""
+
+import numpy as np
+import pytest
+
+from uav_bs_ctrl_tpu.algos.madrqn.fused import FusedMadrqnTrainer
+
+
+@pytest.mark.parametrize("kw", [
+    dict(o="gnn", c="tarmac"),
+    dict(o="mlp", c=None, double_q=True),
+])
+def test_fused_iteration_runs_and_learns_signal(kw):
+    trainer = FusedMadrqnTrainer(
+        "debug",
+        train_kwargs=dict(device="cpu", hidden_size=16, msg_size=8, batch_size=4,
+                          decay_steps=100, **kw),
+        n_worlds=4, capacity_chunks=16, updates_per_iter=2, n_layouts=4, seed=0)
+
+    # Warmup fills the replay without updates.
+    stats = trainer.run_iteration(eps=1.0, warmup=True)
+    assert np.isfinite(stats["EpRet"])
+    assert trainer._size == 4
+
+    import jax
+    p0 = jax.tree_util.tree_map(np.asarray, trainer.learner.params)
+    m1 = trainer.run_iteration(eps=0.5)
+    m2 = trainer.run_iteration(eps=0.5)
+    assert np.isfinite(m1["LossQ"]) and np.isfinite(m2["LossQ"])
+    assert trainer._size == 12
+
+    changed = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        p0, trainer.learner.params)
+    assert max(jax.tree_util.tree_leaves(changed)) > 0
+
+
+def test_fused_ring_wraparound():
+    trainer = FusedMadrqnTrainer(
+        "debug",
+        train_kwargs=dict(device="cpu", hidden_size=16, msg_size=8, batch_size=4,
+                          o="mlp", c=None),
+        n_worlds=4, capacity_chunks=8, updates_per_iter=1, n_layouts=2, seed=1)
+    for _ in range(4):
+        trainer.run_iteration(eps=1.0, warmup=True)
+    assert trainer._size == 8          # capped at capacity
+    assert trainer._ptr == 0           # wrapped twice
