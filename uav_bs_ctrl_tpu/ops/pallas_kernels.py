@@ -31,13 +31,19 @@ _NEG_BIG = -1e30
 
 def _flash_gat_kernel(el_ref, er_ref, attn_ref, mask_ref, out_ref,
                       m_scr, l_scr, acc_scr, *, n_heads, negative_slope):
+    """Online-softmax GAT block.
+
+    Mosaic lowering constraints shape this kernel: no reshapes that split the
+    lane (last) dimension and no batched/multi-dim dot_generals — heads are
+    processed with a static Python loop over lane-dim slices, and every
+    contraction is broadcast-multiply + axis reduction.
+    """
     j = pl.program_id(1)
     n_j = pl.num_programs(1)
 
     el = el_ref[:]                    # [TN, TM, H*F]
     er = er_ref[:]                    # [TN, H*F]
     mask = mask_ref[:]                # [TN, TM] (float 0/1)
-    attn = attn_ref[:]                # [H, F]
 
     tn, tm, hf = el.shape
     f = hf // n_heads
@@ -48,45 +54,40 @@ def _flash_gat_kernel(el_ref, er_ref, attn_ref, mask_ref, out_ref,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    # e = LeakyReLU(el + er): [TN, TM, H*F]
-    e = el + er[:, None, :]
-    e = jnp.where(e >= 0, e, negative_slope * e)
+    for h in range(n_heads):
+        sl = slice(h * f, (h + 1) * f)
+        el_h = el[:, :, sl]                                      # [TN, TM, F]
+        er_h = er[:, sl]                                         # [TN, F]
+        attn_h = attn_ref[h, :]                                  # [F]
 
-    # Per-head scores s[n, m, h] = sum_f e[n, m, h, f] * attn[h, f].
-    e4 = e.reshape(tn, tm, n_heads, f)
-    scores = jnp.sum(e4 * attn[None, None, :, :], axis=-1)       # [TN, TM, H]
-    scores = jnp.where(mask[:, :, None] > 0, scores, _NEG_BIG)
+        e = el_h + er_h[:, None, :]
+        e = jnp.where(e >= 0, e, negative_slope * e)
+        scores = jnp.sum(e * attn_h[None, None, :], axis=-1)     # [TN, TM]
+        scores = jnp.where(mask > 0, scores, _NEG_BIG)
 
-    m_old = m_scr[:]                                             # [TN, H]
-    m_blk = jnp.max(scores, axis=1)                              # [TN, H]
-    m_new = jnp.maximum(m_old, m_blk)
-    # Keep fully-masked rows at shift 0 to avoid inf - inf.
-    shift = jnp.where(m_new <= _NEG_BIG / 2, 0.0, m_new)
+        m_old = m_scr[:, h:h + 1]                                # [TN, 1]
+        m_blk = jnp.max(scores, axis=1, keepdims=True)           # [TN, 1]
+        m_new = jnp.maximum(m_old, m_blk)
+        # Keep fully-masked rows at shift 0 to avoid inf - inf.
+        shift = jnp.where(m_new <= _NEG_BIG / 2, 0.0, m_new)
 
-    p = jnp.exp(scores - shift[:, None, :])                      # [TN, TM, H]
-    p = jnp.where(mask[:, :, None] > 0, p, 0.0)
+        p = jnp.exp(scores - shift)                              # [TN, TM]
+        p = jnp.where(mask > 0, p, 0.0)
 
-    scale = jnp.exp(jnp.where(m_old <= _NEG_BIG / 2, 0.0, m_old) - shift)  # [TN, H]
+        scale = jnp.exp(jnp.where(m_old <= _NEG_BIG / 2, 0.0, m_old) - shift)
 
-    l_scr[:] = l_scr[:] * scale + jnp.sum(p, axis=1)
-
-    # Weighted aggregation of el (the message IS the transformed source):
-    # acc[n, h, f] += sum_m p[n, m, h] * el[n, m, h, f].
-    # NOTE: expressed as broadcast-multiply + axis reduction, NOT a batched
-    # dot_general — Mosaic's TPU lowering rejects dots with multiple batch /
-    # non-contracting dims (TPU_DotDimensionNumbersAttr parse failure).
-    el4 = el.reshape(tn, tm, n_heads, f)
-    contrib = jnp.sum(p[..., None] * el4, axis=1)
-    acc4 = acc_scr[:].reshape(tn, n_heads, f)
-    acc4 = acc4 * scale[:, :, None] + contrib
-    acc_scr[:] = acc4.reshape(tn, hf)
-    m_scr[:] = m_new
+        l_scr[:, h:h + 1] = l_scr[:, h:h + 1] * scale + jnp.sum(p, axis=1,
+                                                                keepdims=True)
+        contrib = jnp.sum(p[:, :, None] * el_h, axis=1)          # [TN, F]
+        acc_scr[:, sl] = acc_scr[:, sl] * scale + contrib
+        m_scr[:, h:h + 1] = m_new
 
     @pl.when(j == n_j - 1)
     def _finalize():
-        denom = jnp.maximum(l_scr[:], 1e-30)                     # [TN, H]
-        out4 = acc_scr[:].reshape(tn, n_heads, f) / denom[:, :, None]
-        out_ref[:] = out4.reshape(tn, hf)
+        for h in range(n_heads):
+            sl = slice(h * f, (h + 1) * f)
+            denom = jnp.maximum(l_scr[:, h:h + 1], 1e-30)        # [TN, 1]
+            out_ref[:, sl] = acc_scr[:, sl] / denom
 
 
 @functools.partial(jax.jit, static_argnames=("n_heads", "negative_slope",
