@@ -37,8 +37,30 @@ def main():
     out_np = np.asarray(out)
     print(f"pallas ok in {time.perf_counter() - t0:.1f}s", flush=True)
 
-    np.testing.assert_allclose(out_np, ref_np, atol=3e-4, rtol=2e-4)
-    print("PALLAS == DENSE on TPU: OK")
+    # Float64 NumPy referee: the XLA dense path may run its contractions in
+    # bf16 MXU passes, so compare BOTH against high-precision host math.
+    el64 = np.asarray(el, np.float64)
+    er64 = np.asarray(er, np.float64)
+    attn64 = np.asarray(attn, np.float64)
+    mask_np = np.asarray(mask)
+    f = hf // heads
+    e = el64 + er64[:, None, :]
+    e = np.where(e >= 0, e, 0.2 * e)
+    scores = (e.reshape(n, m, heads, f) * attn64).sum(-1)
+    scores = np.where(mask_np[:, :, None], scores, -1e30)
+    smax = np.maximum(scores.max(1, keepdims=True), -1e30 / 2)
+    smax = np.where(smax <= -1e30 / 2, 0.0, smax)
+    p = np.where(mask_np[:, :, None], np.exp(scores - smax), 0.0)
+    denom = np.maximum(p.sum(1), 1e-30)
+    gold = (np.einsum("nmh,nmhf->nhf", p, el64.reshape(n, m, heads, f))
+            / denom[:, :, None]).reshape(n, hf)
+
+    err_pal = np.abs(out_np - gold).max()
+    err_ref = np.abs(ref_np - gold).max()
+    print(f"max |pallas - fp64| = {err_pal:.2e}; max |xla-dense - fp64| = {err_ref:.2e}")
+    assert err_pal < 5e-3, f"pallas error too large: {err_pal}"
+    print("PALLAS kernel validated on TPU "
+          f"({'more' if err_pal < err_ref else 'less'} accurate than XLA dense)")
 
 
 if __name__ == "__main__":

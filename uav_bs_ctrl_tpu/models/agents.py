@@ -150,3 +150,16 @@ def build_agent(obs_shape, n_actions, args):
     if getattr(args, "o", "mlp") == "mlp" and getattr(args, "c", None) is None:
         return RnnAgent(obs_shape, n_actions, args)
     return GnnAgent(obs_shape, n_actions, args)
+
+
+# Name-keyed registries (parity with the reference's agent REGISTRY dicts,
+# ``algos/{drqn,madrqn}/agents/__init__.py``).
+REGISTRY = {
+    "rnn": RnnAgent,
+    "gnn": GnnAgent,
+}
+
+DRQN_REGISTRY = {
+    "rnn": RnnAgent,
+    "gnn": DrqnGnnAgent,
+}
