@@ -176,3 +176,31 @@ def test_profiler_trace_and_timer(tmp_path):
     out = timer.flush()
     assert "TimeActMs" in out and out["TimeActMs"] >= 0
     assert timer.flush() == {}
+
+
+@pytest.mark.slow
+def test_drqn_train_eval_end_to_end(tmp_path):
+    """Tiny drqn train -> checkpoint -> test_series via the drqn eval path."""
+    from uav_bs_ctrl_tpu.algos.drqn.run import train
+    from uav_bs_ctrl_tpu.envs.subs_cov import SingleUbsCoverageEnv
+    import test_policies as tp
+
+    data_dir = str(tmp_path)
+    exp_name = "mini_drqn"
+    out = setup_logger_kwargs(exp_name, seed=0, data_dir=data_dir)
+
+    np.random.seed(0)
+    train(SingleUbsCoverageEnv, dict(n_grps=2, gts_per_grp=1, episode_limit=10),
+          seed=0,
+          train_kwargs=dict(device="cpu", agent="rnn", hidden_size=16,
+                            steps_per_epoch=60, epochs=1, update_after=20,
+                            max_seq_len=5, num_test_episodes=1, save_freq=1,
+                            batch_size=4),
+          logger_kwargs=out)
+
+    eval_out = osp.join(data_dir, "eval_drqn")
+    summary = tp.test_series("drqn", ["EpRet", "FairIdx"],
+                             [osp.join(data_dir, exp_name)],
+                             "checkpoint_epoch1.pt", 2, eval_out)
+    assert osp.exists(osp.join(eval_out, "test_summary.csv"))
+    assert ("EpRet", exp_name) in summary.columns
