@@ -45,3 +45,30 @@ def test_flash_gat_online_softmax_stability():
     out = flash_gat(el, er, attn, mask, heads, tile_n=8, tile_m=128, interpret=True)
     assert np.isfinite(np.asarray(out)).all()
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3, rtol=1e-3)
+
+
+def test_csr_segment_sum_matches_xla():
+    from uav_bs_ctrl_tpu.ops.pallas_kernels import csr_segment_sum
+    from uav_bs_ctrl_tpu.ops import segment
+
+    rng = np.random.default_rng(0)
+    n_dst = 6
+    degrees = rng.integers(0, 200, size=n_dst)   # includes possible zeros
+    offsets = np.concatenate([[0], np.cumsum(degrees)]).astype(np.int32)
+    e_used = int(offsets[-1])
+    e_pad = e_used + 37                          # trailing padding rows
+    values = rng.normal(size=(e_pad, 128)).astype(np.float32)
+
+    out = csr_segment_sum(jnp.asarray(values), jnp.asarray(offsets), n_dst,
+                          interpret=True)
+
+    dst_idx = np.zeros(e_pad, np.int32)
+    mask = np.zeros(e_pad, bool)
+    for i in range(n_dst):
+        dst_idx[offsets[i]:offsets[i + 1]] = i
+        mask[offsets[i]:offsets[i + 1]] = True
+    expect = segment.segment_sum(jnp.asarray(values), jnp.asarray(dst_idx),
+                                 jnp.asarray(mask), n_dst)
+    # Sums over up-to-200 f32 values: allow reduction-order roundoff.
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                               atol=1e-3, rtol=1e-4)
