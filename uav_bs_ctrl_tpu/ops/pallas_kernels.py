@@ -210,6 +210,11 @@ def csr_segment_sum(values, row_offsets, num_dst, edge_block=128, interpret=Fals
     larger graphs should shard destinations first (see parallel.graph_parallel).
     """
     e, d = values.shape
+    # Pad E to a block multiple: pl.ds clamps out-of-range slices, which would
+    # misattribute rows of the final partial block.
+    pad_e = (-e) % edge_block
+    if pad_e:
+        values = jnp.pad(values, ((0, pad_e), (0, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_dst,),
