@@ -204,3 +204,25 @@ def test_drqn_train_eval_end_to_end(tmp_path):
                              "checkpoint_epoch1.pt", 2, eval_out)
     assert osp.exists(osp.join(eval_out, "test_summary.csv"))
     assert ("EpRet", exp_name) in summary.columns
+
+
+def test_plot_utils_render_curves(tmp_path):
+    """utils.plot renders mean±sd curves from progress.txt runs to a file."""
+    import matplotlib
+    matplotlib.use("Agg")
+    from uav_bs_ctrl_tpu.utils import plot as plot_mod
+
+    # Two seeds of the same experiment.
+    for seed in (0, 1):
+        d = tmp_path / "expX" / f"expX_s{seed}"
+        d.mkdir(parents=True)
+        (d / "config.json").write_text(json.dumps({"exp_name": "expX", "seed": seed}))
+        rows = ["Epoch\tAverageEpRet\tTotalEnvInteracts"]
+        for ep in range(4):
+            rows.append(f"{ep}\t{float(ep + seed)}\t{(ep + 1) * 100}")
+        (d / "progress.txt").write_text("\n".join(rows) + "\n")
+
+    out_png = str(tmp_path / "curves.png")
+    plot_mod.make_plots([str(tmp_path / "expX")], xaxis="Epoch",
+                        values="AverageEpRet", out_path=out_png)
+    assert osp.exists(out_png)
