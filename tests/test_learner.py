@@ -124,6 +124,36 @@ def test_madrqn_update_changes_params_and_targets_move():
     assert max(jax.tree_util.tree_leaves(moved)) > 0
 
 
+def test_bf16_mixed_precision_matches_f32_loss_and_trains():
+    """compute_dtype='bfloat16' keeps f32 masters and tracks the f32 loss."""
+    import jax
+    import jax.numpy as jnp
+
+    args = madrqn_args(o="gnn", c="tarmac", max_seq_len=5, double_q=True)
+    learner, losses = _run_madrqn_steps(args, n_steps=30)
+    assert all(np.isfinite(l) for l in losses)
+
+    args_bf16 = madrqn_args(o="gnn", c="tarmac", max_seq_len=5, double_q=True,
+                            compute_dtype="bfloat16")
+    env = make_madrqn_env(lambda: MultiUbsCoverageEnv(map_id="test", record=False,
+                                                      use_native=False), args_bf16)
+    learner_bf16 = MultiAgentQLearner(env.get_env_info(), args_bf16, seed=0)
+
+    # Same seed -> identical f32 master params; compare the loss on one batch.
+    batch = learner._batch_to_device(learner.buffer.sample(args.batch_size))
+    key = jax.random.PRNGKey(0)
+    loss32, _ = learner._loss_fn(learner.params, learner.target_params, batch, key)
+    loss16, _ = learner_bf16._loss_fn(learner.params, learner.target_params, batch, key)
+    assert np.isfinite(float(loss16))
+    assert abs(float(loss16) - float(loss32)) <= 0.05 * abs(float(loss32)) + 1e-3
+
+    # A bf16 update keeps master params/optimizer state in f32.
+    learner_bf16.buffer = learner.buffer
+    learner_bf16.update()
+    for leaf in jax.tree_util.tree_leaves(learner_bf16.params):
+        assert leaf.dtype == jnp.float32
+
+
 def test_checkpoint_roundtrip(tmp_path):
     import jax
     args = madrqn_args(o="mlp", c=None, max_seq_len=5, mixer=True)

@@ -71,8 +71,38 @@ def test_train_vectorized_end_to_end(tmp_path, kw):
     assert osp.exists(str(tmp_path / "vec" / "progress.txt"))
     with open(str(tmp_path / "vec" / "progress.txt")) as f:
         header = f.readline().split("\t")
-    assert "EnvStepsPerSec" in [h.strip() for h in header]
+    header = [h.strip() for h in header]
+    assert "EnvStepsPerSec" in header
+    assert "AverageTestEpRet" in header  # on-device eval episodes are logged
     assert len(learner.buffer) > 0
+
+
+def test_evaluate_policy_on_device():
+    """Greedy on-device eval returns per-episode stats with no NaNs."""
+    from uav_bs_ctrl_tpu.models.agents import GnnAgent
+
+    params = jax_env.make_params("debug")
+    args = SN(hidden_size=16, n_layers=1, n_heads=4, msg_size=8, key_size=4,
+              n_rounds=1, dueling=False, c=None, o="gnn")
+    agent = GnnAgent(dict(agent=2, gt=4, ubs=2), params.n_actions, args)
+    p = {"net": agent.init(jax.random.PRNGKey(0))}
+    pool = collect.make_layout_pool("debug", 2, seed=0)
+
+    def apply_fn(pp, obs, h, k):
+        return agent.apply(pp["net"], obs, h, k)
+
+    stats = collect.evaluate_policy(params, apply_fn, p, pool, 16,
+                                    jax.random.PRNGKey(3), n_episodes=4)
+    assert set(stats) == {"TestEpRet", "TestFairIdx", "TestAvgGlobalUtility",
+                          "TestTotalThroughput", "TestProbCollision"}
+    for v in stats.values():
+        v = np.asarray(v)
+        assert v.shape == (4,)
+        assert np.isfinite(v).all()
+    # Greedy (eps=0) differs from a fully-random policy only via Q argmax;
+    # fairness stays in [0, 1].
+    assert (np.asarray(stats["TestFairIdx"]) >= 0).all()
+    assert (np.asarray(stats["TestFairIdx"]) <= 1 + 1e-6).all()
 
 
 def test_vec_checkpoint_loads_in_classic_learner(tmp_path):

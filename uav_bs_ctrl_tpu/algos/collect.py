@@ -107,3 +107,44 @@ def collect_chunk(env_params, agent_apply, policy_params, states, h0, T, key, ep
                         states_f.t.astype(jnp.float32), 1))
     del B
     return chunk, states_f, ep_stats
+
+
+@partial(jax.jit, static_argnums=(0, 1, 5))
+def eval_rollout(env_params, agent_apply, policy_params, states, h0, T, key, eps):
+    """On-device test episodes: roll T steps on B worlds, return episode stats.
+
+    The device analog of the reference's ``test_agent`` (``algos/madrqn/run.py``
+    per-epoch greedy rollouts at eps=0.05): same joint epsilon-greedy rule, but
+    no experience is materialized — only final episode statistics cross the
+    host boundary.
+    """
+
+    def one_step(carry, _):
+        states, h, key = carry
+        key, k_pol, k_eps, k_rand = jax.random.split(key, 4)
+        obs = jax.vmap(lambda s: jax_env.get_obs(env_params, s))(states)
+        q, h2 = agent_apply(policy_params, obs, h, k_pol)
+        greedy = jnp.argmax(q, axis=-1)
+        rand = jax.random.randint(k_rand, greedy.shape, 0, env_params.n_actions)
+        explore = jax.random.uniform(k_eps, (greedy.shape[0], 1)) < eps
+        acts = jnp.where(explore, rand, greedy)
+        states2, _, _, _, _ = jax.vmap(
+            lambda s, a: jax_env.step(env_params, s, a))(states, acts)
+        return (states2, h2, key), None
+
+    (states_f, _, _), _ = jax.lax.scan(one_step, (states, h0, key), None, length=T)
+    return dict(TestEpRet=states_f.ep_ret, TestFairIdx=states_f.fair_idx,
+                TestAvgGlobalUtility=states_f.avg_global_util,
+                TestTotalThroughput=states_f.total_throughput,
+                TestProbCollision=states_f.n_colls / jnp.maximum(
+                    states_f.t.astype(jnp.float32), 1))
+
+
+def evaluate_policy(env_params, agent_apply, params, pool, hidden_size,
+                    key, n_episodes, eps=0.05):
+    """Run ``n_episodes`` parallel on-device test episodes; returns stat arrays."""
+    k_reset, k_roll = jax.random.split(key)
+    states = reset_worlds(env_params, pool, k_reset, n_episodes)
+    h0 = jnp.zeros((n_episodes, env_params.n_ubs, hidden_size))
+    return eval_rollout(env_params, agent_apply, params, states, h0,
+                        env_params.episode_limit, k_roll, jnp.float32(eps))

@@ -34,6 +34,11 @@ def check_args_sanity(args):
         args.share_reward = True
         print("Since QMix is used, all agents are forced to share a scalar reward.")
 
+    compute_dtype = getattr(args, "compute_dtype", "float32")
+    if compute_dtype not in ("float32", "bfloat16"):
+        raise ValueError(f"compute_dtype must be 'float32' or 'bfloat16', "
+                         f"got {compute_dtype!r}")
+
     return args
 
 

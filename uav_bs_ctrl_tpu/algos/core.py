@@ -43,6 +43,14 @@ def _to_device(tree):
     return jax.tree_util.tree_map(jnp.asarray, tree)
 
 
+def cast_floating(tree, dtype):
+    """Cast the floating leaves of a pytree (masks/indices pass through)."""
+    def cast(x):
+        x = jnp.asarray(x)
+        return x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x
+    return jax.tree_util.tree_map(cast, tree)
+
+
 class RecurrentQLearner:
     """Shared core for DRQN (n_agents=1) and MADRQN (with mixer/double-Q)."""
 
@@ -59,6 +67,13 @@ class RecurrentQLearner:
         self.batch_size = args.batch_size
         self.double_q = getattr(args, "double_q", False)
         self.use_mixer = bool(getattr(args, "mixer", False))
+        # Mixed precision: bf16 network compute (MXU-native on TPU) with f32
+        # master params, f32 loss/optimizer/Polyak, f32 scan carries.  The
+        # mixer hypernetwork stays f32 (tiny, and its abs-weights are
+        # precision-sensitive).
+        self.compute_dtype = (jnp.bfloat16
+                              if getattr(args, "compute_dtype", "float32") == "bfloat16"
+                              else jnp.float32)
 
         key = jax.random.PRNGKey(seed)
         key, k_net, k_mix = jax.random.split(key, 3)
@@ -96,8 +111,22 @@ class RecurrentQLearner:
         h = np.zeros((self.n_agents * batch_size, self.agent.hidden), dtype=np.float32)
         return h.reshape(batch_size, self.n_agents, -1).squeeze(0) if batch_size == 1 else h
 
+    def _apply_net(self, net_params, obs, h, key):
+        """Agent forward at ``compute_dtype``; q/h returned in f32.
+
+        Keeping the returned hidden state f32 preserves scan-carry dtype
+        stability (collection and BPTT both scan over ``h``); the cast pairs
+        at the boundary are fused by XLA and the matmul/GRU work runs bf16.
+        """
+        if self.compute_dtype == jnp.float32:
+            return self.agent.apply(net_params, obs, h, key)
+        q, h2 = self.agent.apply(cast_floating(net_params, self.compute_dtype),
+                                 cast_floating(obs, self.compute_dtype),
+                                 h.astype(self.compute_dtype), key)
+        return q.astype(jnp.float32), h2.astype(jnp.float32)
+
     def _act_fn(self, params, obs, h, key):
-        q, h2 = self.agent.apply(params["net"], obs, h, key)
+        q, h2 = self._apply_net(params["net"], obs, h, key)
         return jnp.argmax(q, axis=-1), h2
 
     def act(self, obs, h, eps_thres):
@@ -143,24 +172,35 @@ class RecurrentQLearner:
         h0 = batch["h"][:, 0]
         h_targ0 = batch["h"][:, 1]
 
+        # Mixed precision: the entire BPTT unroll (params, obs sequence, scan
+        # carry) runs at compute_dtype; Q stacks are cast back to f32 once, so
+        # gather/double-Q/mixer/MSE and the optimizer stay full precision.
+        cdt = self.compute_dtype
+        net_p = cast_floating(params["net"], cdt)
+        net_t = cast_floating(target_params["net"], cdt)
+        obs = cast_floating(obs, cdt)
+
         def pol_step(carry, obs_t):
             h, k = carry
             k, sub = jax.random.split(k)
-            q, h = self.agent.apply(params["net"], obs_t, h, sub)
+            q, h = self.agent.apply(net_p, obs_t, h, sub)
             return (h, k), q
 
         key_pol, key_targ = jax.random.split(key)
-        (_, _), agent_out = jax.lax.scan(pol_step, (h0, key_pol), obs)  # [T+1, B, A, n_act]
+        (_, _), agent_out = jax.lax.scan(
+            pol_step, (h0.astype(cdt), key_pol), obs)                 # [T+1, B, A, n_act]
+        agent_out = agent_out.astype(jnp.float32)
 
         def targ_step(carry, obs_t):
             h, k = carry
             k, sub = jax.random.split(k)
-            q, h = self.agent.apply(target_params["net"], obs_t, h, sub)
+            q, h = self.agent.apply(net_t, obs_t, h, sub)
             return (h, k), q
 
         obs_next = jax.tree_util.tree_map(lambda x: x[1:], obs)
-        (_, _), target_out = jax.lax.scan(targ_step, (h_targ0, key_targ), obs_next)
-        target_out = jax.lax.stop_gradient(target_out)                # [T, B, A, n_act]
+        (_, _), target_out = jax.lax.scan(
+            targ_step, (h_targ0.astype(cdt), key_targ), obs_next)
+        target_out = jax.lax.stop_gradient(target_out).astype(jnp.float32)  # [T, B, A, n_act]
 
         qvals = jnp.take_along_axis(agent_out[:T], acts[..., None], axis=-1)[..., 0]
         if self.double_q:

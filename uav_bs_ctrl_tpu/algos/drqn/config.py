@@ -11,6 +11,7 @@ DEFAULT_CONFIG = {
     'hidden_size': 256,
     'n_layers': 2,
     'n_heads': 4,
+    'compute_dtype': 'float32',  # 'bfloat16' -> mixed-precision net compute (MXU-native)
 
     # Basic training hyperparameters
     'lr': 5e-4,

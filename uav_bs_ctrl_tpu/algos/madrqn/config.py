@@ -19,6 +19,7 @@ DEFAULT_CONFIG = {
     'n_rounds': 1,
     'embed_dim': 32,       # QMixer embedding dim
     'gat_backend': 'dense',  # 'dense' (XLA) or 'pallas' (flash kernel, swarm scale)
+    'compute_dtype': 'float32',  # 'bfloat16' -> mixed-precision net compute (MXU-native)
 
     # Basic training hyperparameters
     'lr': 5e-4,

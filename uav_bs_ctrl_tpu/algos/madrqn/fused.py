@@ -70,6 +70,7 @@ class FusedMadrqnTrainer:
         self.learner = MultiAgentQLearner(env_info, args, seed=seed)
 
         self.pool = collect.make_layout_pool(map_id, n_layouts, seed=seed)
+        self.test_pool = collect.make_layout_pool(map_id, n_layouts, seed=seed + 10_000)
         self.key = jax.random.PRNGKey(seed)
 
         self._share_reward = bool(getattr(args, "share_reward", False))
@@ -95,7 +96,7 @@ class FusedMadrqnTrainer:
                                     obs["gt"].reshape(lead + (-1,)),
                                     obs["ubs"].reshape(lead + (-1,))], axis=-1)
             obs = {"agent": flat, "adj": obs["adj"]}
-        return self.learner.agent.apply(net, obs, h, k)
+        return self.learner._apply_net(net, obs, h, k)
 
     def _collect(self, params, key, eps):
         k_reset, k_chunk = jax.random.split(key)
@@ -147,6 +148,14 @@ class FusedMadrqnTrainer:
         return params, target_params, opt_state, replay, metrics, size
 
     # ------------------------------------------------------------------ #
+
+    def evaluate(self, n_episodes=8, eps=0.05):
+        """On-device test episodes on held-out layouts (reference test_agent)."""
+        self.key, sub = jax.random.split(self.key)
+        stats = collect.evaluate_policy(
+            self.env_params, self._agent_apply, self.learner.params,
+            self.test_pool, self.args.hidden_size, sub, n_episodes, eps)
+        return {k: np.asarray(v) for k, v in stats.items()}
 
     def run_iteration(self, eps, warmup=False):
         """Execute one fused iteration; returns host-side metric floats.

@@ -75,6 +75,7 @@ def train_vectorized(map_id, seed=0, train_kwargs=dict(), logger_kwargs=dict(),
     learner = MultiAgentQLearner(env_info, args, seed=seed)
 
     pool = collect.make_layout_pool(map_id, n_layouts, seed=seed)
+    test_pool = collect.make_layout_pool(map_id, n_layouts, seed=seed + 10_000)
     key = jax.random.PRNGKey(seed)
 
     total_steps = args.steps_per_epoch * args.epochs
@@ -108,7 +109,7 @@ def train_vectorized(map_id, seed=0, train_kwargs=dict(), logger_kwargs=dict(),
         net = params["net"] if "net" in params else params
         if args.o == "mlp":
             obs = flatten_obs(obs)
-        return learner.agent.apply(net, obs, h, k)
+        return learner._apply_net(net, obs, h, k)
 
     for it in range(n_chunks):
         key, k_reset, k_chunk = jax.random.split(key, 3)
@@ -144,6 +145,15 @@ def train_vectorized(map_id, seed=0, train_kwargs=dict(), logger_kwargs=dict(),
 
         if (it + 1) % chunks_per_epoch == 0:
             epoch = (it + 1) // chunks_per_epoch
+
+            # On-device test episodes (greedy, eps=0.05 — the reference
+            # test_agent semantics) on held-out layouts.
+            key, k_test = jax.random.split(key)
+            test_stats = collect.evaluate_policy(
+                env_params, agent_apply, learner.params, test_pool,
+                args.hidden_size, k_test, args.num_test_episodes)
+            logger.store(**{k: np.asarray(v) for k, v in test_stats.items()})
+
             learner.step_lr_scheduler()
             if (epoch % args.save_freq == 0) or (it + 1 == n_chunks):
                 save_path = osp.join(logger.output_dir or '/tmp',
@@ -158,6 +168,11 @@ def train_vectorized(map_id, seed=0, train_kwargs=dict(), logger_kwargs=dict(),
             logger.log_tabular('FairIdx', average_only=True)
             logger.log_tabular('TotalThroughput', average_only=True)
             logger.log_tabular('ProbCollision', average_only=True)
+            logger.log_tabular('TestEpRet', with_min_and_max=True)
+            logger.log_tabular('TestFairIdx', average_only=True)
+            logger.log_tabular('TestAvgGlobalUtility', average_only=True)
+            logger.log_tabular('TestTotalThroughput', average_only=True)
+            logger.log_tabular('TestProbCollision', average_only=True)
             logger.log_tabular('TotalEnvInteracts', t_global)
             logger.log_tabular('LossQ', average_only=True)
             logger.log_tabular('TimeCollectMs', collect_ms)
