@@ -1,0 +1,137 @@
+r"""Fast-path experiment driver: exp2/exp3 variants on the fused TPU trainer.
+
+Runs the reference's exp2/exp3 training configurations (same hyperparameters
+as ``run_exp2.py`` / ``run_exp3.py``) at FULL budget on one chip via
+:class:`uav_bs_ctrl_tpu.algos.madrqn.fused.FusedMadrqnTrainer` — on-device
+collection, device-resident replay, and K sampled updates per iteration in a
+single XLA program.  Update-to-data cadence matches the reference (one update
+per ``episode_limit`` env steps); epsilon/LR schedules, eval episodes,
+checkpoints, and progress.txt logging mirror the classic driver
+(reference ``algos/madrqn/run.py:22-129``).
+
+Usage:
+    python run_fast.py --exp exp2 --map r400 --c tarmac --seed 0
+    python run_fast.py --exp exp3 --map 4ubs --c disc --mixer --seed 10
+"""
+
+import argparse
+import os.path as osp
+import time
+
+from uav_bs_ctrl_tpu.algos.madrqn.fused import FusedMadrqnTrainer
+from uav_bs_ctrl_tpu.utils.logx import EpochLogger
+from uav_bs_ctrl_tpu.utils.run_utils import setup_logger_kwargs
+
+# Reference grid hyperparameters (run_exp2.py / run_exp3.py).
+EXP_PRESETS = {
+    "exp2": dict(o="mlp", hidden_size=256, n_layers=2, msg_size=64,
+                 lr=2.5e-4, polyak=0.999, decay_steps=int(5e4),
+                 replay_size=int(5e3), max_seq_len=None,
+                 epochs=100, steps_per_epoch=20000, update_after=10000,
+                 norm_r=True, anneal_lr=True, double_q=True, dueling=False),
+    "exp3": dict(o="gnn", hidden_size=256, n_layers=2, msg_size=64,
+                 lr=2.5e-4, polyak=0.999, decay_steps=int(2e5),
+                 replay_size=int(5e3), max_seq_len=None,
+                 epochs=100, steps_per_epoch=30000, update_after=20000,
+                 save_freq=10, norm_r=True, anneal_lr=True, double_q=True,
+                 dueling=False),
+}
+
+
+def train_fast(exp, map_id, seed=0, train_overrides=None, logger_kwargs=None,
+               n_worlds=40, n_layouts=256):
+    kw = dict(EXP_PRESETS[exp])
+    kw.update(train_overrides or {})
+
+    logger = EpochLogger(**(logger_kwargs or {}))
+    logger.save_config(dict(exp=exp, map_id=map_id, seed=seed,
+                            n_worlds=n_worlds, args=kw))
+
+    capacity = kw["replay_size"] - kw["replay_size"] % n_worlds
+    trainer = FusedMadrqnTrainer(map_id, train_kwargs=kw, n_worlds=n_worlds,
+                                 capacity_chunks=capacity, n_layouts=n_layouts,
+                                 seed=seed)
+    args, T = trainer.args, trainer.T
+    learner = trainer.learner
+
+    total_steps = args.steps_per_epoch * args.epochs
+    steps_per_iter = n_worlds * T
+    n_iters = max(1, total_steps // steps_per_iter)
+    iters_per_epoch = max(1, args.steps_per_epoch // steps_per_iter)
+    update_after = max(args.update_after, args.batch_size * T)
+
+    eps_start, eps_end = 1, 0.05
+    eps = lambda t: max(eps_end, -(eps_start - eps_end) / args.decay_steps * t + eps_start)
+
+    start_time = time.time()
+    t_global = 0
+    for it in range(n_iters):
+        warmup = t_global < update_after
+        metrics = trainer.run_iteration(eps(t_global), warmup=warmup)
+        t_global += steps_per_iter
+        logger.store(**metrics)
+
+        if (it + 1) % iters_per_epoch == 0:
+            epoch = (it + 1) // iters_per_epoch
+            test_stats = trainer.evaluate(n_episodes=args.num_test_episodes)
+            logger.store(**test_stats)
+            learner.step_lr_scheduler()
+
+            if (epoch % args.save_freq == 0) or (it + 1 == n_iters):
+                save_path = osp.join(logger.output_dir or "/tmp",
+                                     f"checkpoint_epoch{epoch}.pt")
+                learner.save_checkpoint(save_path, stamp=dict(epoch=epoch, t=t_global))
+
+            logger.log_tabular("Epoch", epoch)
+            logger.log_tabular("EpRet", with_min_and_max=True)
+            logger.log_tabular("AvgGlobalUtility", average_only=True)
+            logger.log_tabular("FairIdx", average_only=True)
+            logger.log_tabular("TestEpRet", with_min_and_max=True)
+            logger.log_tabular("TestFairIdx", average_only=True)
+            logger.log_tabular("TestAvgGlobalUtility", average_only=True)
+            logger.log_tabular("TestTotalThroughput", average_only=True)
+            logger.log_tabular("TestProbCollision", average_only=True)
+            logger.log_tabular("TotalEnvInteracts", t_global)
+            if logger.epoch_dict.get("LossQ"):
+                logger.log_tabular("LossQ", average_only=True)
+            else:
+                logger.log_tabular("LossQ", float("nan"))  # epoch was all warmup
+            logger.log_tabular("StepsPerSec", t_global / (time.time() - start_time))
+            logger.log_tabular("Time", time.time() - start_time)
+            logger.dump_tabular()
+
+    print("Complete.")
+    return trainer
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--exp", choices=("exp2", "exp3"), default="exp2")
+    parser.add_argument("--map", dest="map_id", default=None)
+    parser.add_argument("--c", default=None, help="comm protocol (none|base|disc|commnet|tarmac|econv)")
+    parser.add_argument("--mixer", action="store_true")
+    parser.add_argument("--seed", "-s", type=int, default=0)
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--steps-per-epoch", type=int, default=None)
+    parser.add_argument("--replay-size", type=int, default=None)
+    parser.add_argument("--update-after", type=int, default=None)
+    parser.add_argument("--device", default=None, help="'cpu' forces the host backend")
+    parser.add_argument("--n-worlds", type=int, default=40)
+    parser.add_argument("--n-layouts", type=int, default=256)
+    parser.add_argument("--compute-dtype", default="float32")
+    parser.add_argument("--data-dir", default=None)
+    cli = parser.parse_args()
+
+    map_id = cli.map_id or ("r400" if cli.exp == "exp2" else "4ubs")
+    c = None if cli.c in (None, "none") else cli.c
+    overrides = dict(c=c, mixer=cli.mixer, compute_dtype=cli.compute_dtype)
+    for k in ("epochs", "steps_per_epoch", "replay_size", "update_after", "device"):
+        v = getattr(cli, k)
+        if v is not None:
+            overrides[k] = v
+
+    name = f"{cli.exp}_fast_{map_id}_{c or 'iql'}" + ("_qmix" if cli.mixer else "")
+    logger_kwargs = setup_logger_kwargs(name, cli.seed, data_dir=cli.data_dir)
+    train_fast(cli.exp, map_id, seed=cli.seed, train_overrides=overrides,
+               logger_kwargs=logger_kwargs, n_worlds=cli.n_worlds,
+               n_layouts=cli.n_layouts)

@@ -85,6 +85,7 @@ class FusedMadrqnTrainer:
         self._size = 0
 
         self._iter_jit = jax.jit(self._iteration, donate_argnums=(0, 1, 2, 3))
+        self._collect_jit = jax.jit(self._collect)
 
     # ------------------------------------------------------------------ #
 
@@ -165,8 +166,8 @@ class FusedMadrqnTrainer:
         """
         self.key, sub = jax.random.split(self.key)
         if warmup:
-            chunk, stats = jax.jit(self._collect)(self.learner.params, sub,
-                                                  jnp.float32(eps))
+            chunk, stats = self._collect_jit(self.learner.params, sub,
+                                             jnp.float32(eps))
             self.replay = jax.tree_util.tree_map(
                 lambda store, x: jax.lax.dynamic_update_slice_in_dim(
                     store, x, self._ptr, 0), self.replay, chunk)
