@@ -35,6 +35,28 @@ def test_fused_iteration_runs_and_learns_signal(kw):
     assert max(jax.tree_util.tree_leaves(changed)) > 0
 
 
+def test_run_fast_driver_end_to_end(tmp_path):
+    """The full-budget fast driver trains, evals, checkpoints, and logs."""
+    import os.path as osp
+    from run_fast import train_fast
+
+    train_fast("exp2", "debug", seed=0,
+               train_overrides=dict(c=None, hidden_size=16, batch_size=4,
+                                    replay_size=16, steps_per_epoch=80, epochs=2,
+                                    update_after=40, decay_steps=200, device="cpu"),
+               logger_kwargs=dict(output_dir=str(tmp_path / "f"), exp_name="f"),
+               n_worlds=2, n_layouts=2)
+    progress = str(tmp_path / "f" / "progress.txt")
+    assert osp.exists(progress)
+    with open(progress) as f:
+        header = [h.strip() for h in f.readline().split("\t")]
+        rows = f.readlines()
+    assert "AverageTestEpRet" in header and "LossQ" in header
+    assert len(rows) == 2
+    assert osp.exists(str(tmp_path / "f" / "checkpoint_epoch2.pt"))
+    assert osp.exists(str(tmp_path / "f" / "config.json"))
+
+
 def test_fused_ring_wraparound():
     trainer = FusedMadrqnTrainer(
         "debug",
