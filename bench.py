@@ -39,7 +39,11 @@ STATE_DIM = A * 2 + M * 4
 EDGES_PER_UPDATE = B * (2 * T + 1) * A * (M + K + A)
 TRAIN_KW = dict(o="gnn", c="tarmac", hidden_size=HID, msg_size=MSG, key_size=KEYSZ,
                 n_heads=HEADS, n_layers=2, batch_size=B, max_seq_len=T,
-                double_q=True, dueling=True, replay_size=64)
+                double_q=True, dueling=True, replay_size=64,
+                # Mixed precision: bf16 unrolls with f32 masters/loss/optimizer
+                # (1.22x on-chip vs f32; first-update loss matches to 3 decimals
+                # — see benchmarks/bench_bf16_ab.py).
+                compute_dtype="bfloat16")
 
 
 def log(*a):
