@@ -53,6 +53,10 @@ def test_collect_chunk_layout_and_consistency():
                                np.asarray(chunk["rew"]).mean(-1).sum(-1), rtol=1e-5)
     # h at index 0 is the initial zero state.
     np.testing.assert_allclose(np.asarray(chunk["h"][:, 0]), 0.0)
+    # Quirk 4: stored done is identically zero (timeout-only termination with
+    # bad-mask masking) — targets always bootstrap, matching the host cache().
+    np.testing.assert_array_equal(np.asarray(chunk["done"]), 0.0)
+    assert int(states_f.t[0]) == T  # ...even though the episode did time out.
 
 
 @pytest.mark.parametrize("kw", [

@@ -96,9 +96,14 @@ def collect_chunk(env_params, agent_apply, policy_params, states, h0, T, key, ep
     state_full = jnp.concatenate([bt(traj["state"]), svec_last[:, None]], axis=1)
     h_pair = bt(traj["h"])[:, :2]                             # h at t=0, t=1
 
+    # Reference quirk 4 (SURVEY.md §2.4): stored done = (1 - bad_mask) * done,
+    # and episodes terminate only by timeout (bad_mask == done), so the stored
+    # flag is identically zero — TD targets ALWAYS bootstrap.  The host path
+    # applies the same rule in ``RecurrentQLearner.cache``.
+    raw_done = bt(traj["done"]).astype(jnp.float32)
     chunk = dict(obs=obs_full, h=h_pair, state=state_full,
                  act=bt(traj["act"]).astype(jnp.int32),
-                 rew=bt(traj["rew"]), done=bt(traj["done"]).astype(jnp.float32))
+                 rew=bt(traj["rew"]), done=raw_done * (1.0 - raw_done))
 
     ep_stats = dict(EpRet=states_f.ep_ret, FairIdx=states_f.fair_idx,
                     AvgGlobalUtility=states_f.avg_global_util,
