@@ -1,15 +1,16 @@
-r"""Fast-path experiment driver: exp2/exp3 variants on the fused TPU trainer.
+r"""Fast-path experiment driver: exp1/exp2/exp3 variants on the fused trainers.
 
-Runs the reference's exp2/exp3 training configurations (same hyperparameters
-as ``run_exp2.py`` / ``run_exp3.py``) at FULL budget on one chip via
-:class:`uav_bs_ctrl_tpu.algos.madrqn.fused.FusedMadrqnTrainer` — on-device
-collection, device-resident replay, and K sampled updates per iteration in a
-single XLA program.  Update-to-data cadence matches the reference (one update
-per ``episode_limit`` env steps); epsilon/LR schedules, eval episodes,
-checkpoints, and progress.txt logging mirror the classic driver
-(reference ``algos/madrqn/run.py:22-129``).
+Runs the reference's training configurations (same hyperparameters as
+``run_exp1.py`` / ``run_exp2.py`` / ``run_exp3.py``) at FULL budget on one
+chip via the fused trainers (``FusedMadrqnTrainer`` / ``FusedDrqnTrainer``) —
+on-device collection, device-resident replay, and K sampled updates per
+iteration in a single XLA program.  Update-to-data cadence matches the
+reference (one update per ``max_seq_len`` env steps); epsilon/LR schedules,
+eval episodes, checkpoints, and progress.txt logging mirror the classic
+driver (reference ``algos/madrqn/run.py:22-129``, ``algos/drqn/run.py``).
 
 Usage:
+    python run_fast.py --exp exp1 --n-grps 2 --agent gnn --seed 10
     python run_fast.py --exp exp2 --map r400 --c tarmac --seed 0
     python run_fast.py --exp exp3 --map 4ubs --c disc --mixer --seed 10
 """
@@ -18,11 +19,16 @@ import argparse
 import os.path as osp
 import time
 
+from uav_bs_ctrl_tpu.algos.drqn.fused import FusedDrqnTrainer
 from uav_bs_ctrl_tpu.algos.madrqn.fused import FusedMadrqnTrainer
 from uav_bs_ctrl_tpu.utils.logx import EpochLogger
 from uav_bs_ctrl_tpu.utils.run_utils import setup_logger_kwargs
 
-# Reference grid hyperparameters (run_exp2.py / run_exp3.py).
+# Reference grid hyperparameters (run_exp1.py / run_exp2.py / run_exp3.py).
+EXP1_PRESET = dict(agent="rnn", lr=5e-4, polyak=0.999, replay_size=int(5e4),
+                   decay_steps=int(2e5), epochs=50, steps_per_epoch=20000,
+                   update_after=10000, anneal_lr=True)
+
 EXP_PRESETS = {
     "exp2": dict(o="mlp", hidden_size=256, n_layers=2, msg_size=64,
                  lr=2.5e-4, polyak=0.999, decay_steps=int(5e4),
@@ -36,6 +42,69 @@ EXP_PRESETS = {
                  save_freq=10, norm_r=True, anneal_lr=True, double_q=True,
                  dueling=False),
 }
+
+
+def train_fast_exp1(env_kwargs, seed=0, train_overrides=None, logger_kwargs=None,
+                    n_worlds=8, n_layouts=256):
+    """Full-budget exp1 (single-UBS DRQN) on the fused trainer."""
+    kw = dict(EXP1_PRESET)
+    kw.update(train_overrides or {})
+
+    logger = EpochLogger(**(logger_kwargs or {}))
+    logger.save_config(dict(exp="exp1", env_kwargs=env_kwargs, seed=seed,
+                            n_worlds=n_worlds, args=kw))
+
+    trainer = FusedDrqnTrainer(env_kwargs, train_kwargs=kw, n_worlds=n_worlds,
+                               n_layouts=n_layouts, seed=seed)
+    args, T = trainer.args, trainer.T
+    learner = trainer.learner
+
+    total_steps = args.steps_per_epoch * args.epochs
+    steps_per_iter = n_worlds * T
+    n_iters = max(1, total_steps // steps_per_iter)
+    iters_per_epoch = max(1, args.steps_per_epoch // steps_per_iter)
+    update_after = max(args.update_after, args.batch_size * trainer.L)
+
+    eps_start, eps_end = 1, 0.05
+    eps = lambda t: max(eps_end, -(eps_start - eps_end) / args.decay_steps * t + eps_start)
+
+    start_time = time.time()
+    t_global = 0
+    for it in range(n_iters):
+        warmup = t_global < update_after
+        metrics = trainer.run_iteration(eps(t_global), warmup=warmup)
+        t_global += steps_per_iter
+        logger.store(**metrics)
+
+        if (it + 1) % iters_per_epoch == 0:
+            epoch = (it + 1) // iters_per_epoch
+            logger.store(**trainer.evaluate(n_episodes=args.num_test_episodes))
+            learner.step_lr_scheduler()
+
+            if (epoch % args.save_freq == 0) or (it + 1 == n_iters):
+                save_path = osp.join(logger.output_dir or "/tmp",
+                                     f"checkpoint_epoch{epoch}.pt")
+                learner.save_checkpoint(save_path, stamp=dict(epoch=epoch, t=t_global))
+
+            logger.log_tabular("Epoch", epoch)
+            logger.log_tabular("EpRet", with_min_and_max=True)
+            logger.log_tabular("AvgGlobalUtility", average_only=True)
+            logger.log_tabular("FairIdx", average_only=True)
+            logger.log_tabular("TestEpRet", with_min_and_max=True)
+            logger.log_tabular("TestFairIdx", average_only=True)
+            logger.log_tabular("TestAvgGlobalUtility", average_only=True)
+            logger.log_tabular("TestTotalThroughput", average_only=True)
+            logger.log_tabular("TotalEnvInteracts", t_global)
+            if logger.epoch_dict.get("LossQ"):
+                logger.log_tabular("LossQ", average_only=True)
+            else:
+                logger.log_tabular("LossQ", float("nan"))
+            logger.log_tabular("StepsPerSec", t_global / (time.time() - start_time))
+            logger.log_tabular("Time", time.time() - start_time)
+            logger.dump_tabular()
+
+    print("Complete.")
+    return trainer
 
 
 def train_fast(exp, map_id, seed=0, train_overrides=None, logger_kwargs=None,
@@ -106,10 +175,13 @@ def train_fast(exp, map_id, seed=0, train_overrides=None, logger_kwargs=None,
 
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
-    parser.add_argument("--exp", choices=("exp2", "exp3"), default="exp2")
+    parser.add_argument("--exp", choices=("exp1", "exp2", "exp3"), default="exp2")
     parser.add_argument("--map", dest="map_id", default=None)
     parser.add_argument("--c", default=None, help="comm protocol (none|base|disc|commnet|tarmac|econv)")
     parser.add_argument("--mixer", action="store_true")
+    parser.add_argument("--agent", default="rnn", help="exp1 agent type (rnn|gnn)")
+    parser.add_argument("--n-grps", type=int, default=2, help="exp1 GT groups")
+    parser.add_argument("--gts-per-grp", type=int, default=5, help="exp1 GTs per group")
     parser.add_argument("--seed", "-s", type=int, default=0)
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--steps-per-epoch", type=int, default=None)
@@ -121,6 +193,20 @@ if __name__ == "__main__":
     parser.add_argument("--compute-dtype", default="float32")
     parser.add_argument("--data-dir", default=None)
     cli = parser.parse_args()
+
+    if cli.exp == "exp1":
+        overrides = dict(agent=cli.agent, compute_dtype=cli.compute_dtype)
+        for k in ("epochs", "steps_per_epoch", "replay_size", "update_after", "device"):
+            v = getattr(cli, k)
+            if v is not None:
+                overrides[k] = v
+        env_kwargs = dict(n_grps=cli.n_grps, gts_per_grp=cli.gts_per_grp)
+        name = f"exp1_fast_grp{cli.n_grps}_size{cli.gts_per_grp}_{cli.agent}"
+        logger_kwargs = setup_logger_kwargs(name, cli.seed, data_dir=cli.data_dir)
+        train_fast_exp1(env_kwargs, seed=cli.seed, train_overrides=overrides,
+                        logger_kwargs=logger_kwargs, n_worlds=cli.n_worlds,
+                        n_layouts=cli.n_layouts)
+        raise SystemExit(0)
 
     map_id = cli.map_id or ("r400" if cli.exp == "exp2" else "4ubs")
     c = None if cli.c in (None, "none") else cli.c
