@@ -44,13 +44,33 @@ EXP_PRESETS = {
 }
 
 
+def _maybe_resume(trainer, output_dir, eps_fn):
+    """Load the newest checkpoint from ``output_dir`` and refill the replay.
+
+    The device replay ring is not checkpointed (the reference doesn't persist
+    its buffer either); after restoring params/optimizer/LR state, two warmup
+    collections at the resumed epsilon re-seed it before updates continue.
+    Returns the resumed (epoch, t_global), or (0, 0) when nothing to resume.
+    """
+    import glob
+    import re
+    ckpts = glob.glob(osp.join(output_dir or "", "checkpoint_epoch*.pt"))
+    if not ckpts:
+        return 0, 0
+    latest = max(ckpts, key=lambda p: int(re.search(r"epoch(\d+)", p).group(1)))
+    stamp = trainer.learner.load_checkpoint(latest)
+    for _ in range(2):
+        trainer.run_iteration(eps_fn(int(stamp["t"])), warmup=True)
+    return int(stamp["epoch"]), int(stamp["t"])
+
+
 def train_fast_exp1(env_kwargs, seed=0, train_overrides=None, logger_kwargs=None,
-                    n_worlds=8, n_layouts=256):
+                    n_worlds=8, n_layouts=256, resume=False):
     """Full-budget exp1 (single-UBS DRQN) on the fused trainer."""
     kw = dict(EXP1_PRESET)
     kw.update(train_overrides or {})
 
-    logger = EpochLogger(**(logger_kwargs or {}))
+    logger = EpochLogger(append=resume, **(logger_kwargs or {}))
     logger.save_config(dict(exp="exp1", env_kwargs=env_kwargs, seed=seed,
                             n_worlds=n_worlds, args=kw))
 
@@ -68,9 +88,12 @@ def train_fast_exp1(env_kwargs, seed=0, train_overrides=None, logger_kwargs=None
     eps_start, eps_end = 1, 0.05
     eps = lambda t: max(eps_end, -(eps_start - eps_end) / args.decay_steps * t + eps_start)
 
+    epoch0, t_global = (0, 0)
+    if resume:
+        epoch0, t_global = _maybe_resume(trainer, logger.output_dir, eps)
+    t_resumed = t_global
     start_time = time.time()
-    t_global = 0
-    for it in range(n_iters):
+    for it in range(epoch0 * iters_per_epoch, n_iters):
         warmup = t_global < update_after
         metrics = trainer.run_iteration(eps(t_global), warmup=warmup)
         t_global += steps_per_iter
@@ -99,7 +122,8 @@ def train_fast_exp1(env_kwargs, seed=0, train_overrides=None, logger_kwargs=None
                 logger.log_tabular("LossQ", average_only=True)
             else:
                 logger.log_tabular("LossQ", float("nan"))
-            logger.log_tabular("StepsPerSec", t_global / (time.time() - start_time))
+            logger.log_tabular("StepsPerSec",
+                               (t_global - t_resumed) / (time.time() - start_time))
             logger.log_tabular("Time", time.time() - start_time)
             logger.dump_tabular()
 
@@ -108,11 +132,11 @@ def train_fast_exp1(env_kwargs, seed=0, train_overrides=None, logger_kwargs=None
 
 
 def train_fast(exp, map_id, seed=0, train_overrides=None, logger_kwargs=None,
-               n_worlds=40, n_layouts=256):
+               n_worlds=40, n_layouts=256, resume=False):
     kw = dict(EXP_PRESETS[exp])
     kw.update(train_overrides or {})
 
-    logger = EpochLogger(**(logger_kwargs or {}))
+    logger = EpochLogger(append=resume, **(logger_kwargs or {}))
     logger.save_config(dict(exp=exp, map_id=map_id, seed=seed,
                             n_worlds=n_worlds, args=kw))
 
@@ -132,9 +156,12 @@ def train_fast(exp, map_id, seed=0, train_overrides=None, logger_kwargs=None,
     eps_start, eps_end = 1, 0.05
     eps = lambda t: max(eps_end, -(eps_start - eps_end) / args.decay_steps * t + eps_start)
 
+    epoch0, t_global = (0, 0)
+    if resume:
+        epoch0, t_global = _maybe_resume(trainer, logger.output_dir, eps)
+    t_resumed = t_global
     start_time = time.time()
-    t_global = 0
-    for it in range(n_iters):
+    for it in range(epoch0 * iters_per_epoch, n_iters):
         warmup = t_global < update_after
         metrics = trainer.run_iteration(eps(t_global), warmup=warmup)
         t_global += steps_per_iter
@@ -165,7 +192,8 @@ def train_fast(exp, map_id, seed=0, train_overrides=None, logger_kwargs=None,
                 logger.log_tabular("LossQ", average_only=True)
             else:
                 logger.log_tabular("LossQ", float("nan"))  # epoch was all warmup
-            logger.log_tabular("StepsPerSec", t_global / (time.time() - start_time))
+            logger.log_tabular("StepsPerSec",
+                               (t_global - t_resumed) / (time.time() - start_time))
             logger.log_tabular("Time", time.time() - start_time)
             logger.dump_tabular()
 
@@ -192,6 +220,8 @@ if __name__ == "__main__":
     parser.add_argument("--n-layouts", type=int, default=256)
     parser.add_argument("--compute-dtype", default="float32")
     parser.add_argument("--data-dir", default=None)
+    parser.add_argument("--resume", action="store_true",
+                        help="continue from the newest checkpoint in the run dir")
     cli = parser.parse_args()
 
     if cli.exp == "exp1":
@@ -205,7 +235,7 @@ if __name__ == "__main__":
         logger_kwargs = setup_logger_kwargs(name, cli.seed, data_dir=cli.data_dir)
         train_fast_exp1(env_kwargs, seed=cli.seed, train_overrides=overrides,
                         logger_kwargs=logger_kwargs, n_worlds=cli.n_worlds,
-                        n_layouts=cli.n_layouts)
+                        n_layouts=cli.n_layouts, resume=cli.resume)
         raise SystemExit(0)
 
     map_id = cli.map_id or ("r400" if cli.exp == "exp2" else "4ubs")
@@ -220,4 +250,4 @@ if __name__ == "__main__":
     logger_kwargs = setup_logger_kwargs(name, cli.seed, data_dir=cli.data_dir)
     train_fast(cli.exp, map_id, seed=cli.seed, train_overrides=overrides,
                logger_kwargs=logger_kwargs, n_worlds=cli.n_worlds,
-               n_layouts=cli.n_layouts)
+               n_layouts=cli.n_layouts, resume=cli.resume)

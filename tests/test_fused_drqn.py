@@ -105,3 +105,31 @@ def test_run_fast_exp1_driver_end_to_end(tmp_path):
     assert "AverageTestEpRet" in header and "LossQ" in header
     assert len(rows) == 2
     assert osp.exists(str(tmp_path / "e1" / "checkpoint_epoch2.pt"))
+
+
+def test_run_fast_resume_appends(tmp_path):
+    """--resume continues from the newest checkpoint and appends to the log."""
+    import os.path as osp
+    from run_fast import train_fast_exp1
+
+    kw = dict(hidden_size=16, batch_size=4, max_seq_len=5, replay_size=64,
+              steps_per_epoch=80, update_after=40, decay_steps=200,
+              save_freq=1, device="cpu")
+    lk = dict(output_dir=str(tmp_path / "r"), exp_name="r")
+    env_kw = dict(n_grps=2, gts_per_grp=2, episode_limit=20)
+
+    train_fast_exp1(env_kw, seed=0, train_overrides=dict(epochs=1, **kw),
+                    logger_kwargs=lk, n_worlds=2, n_layouts=2)
+    tr = train_fast_exp1(env_kw, seed=0, train_overrides=dict(epochs=3, **kw),
+                         logger_kwargs=lk, n_worlds=2, n_layouts=2, resume=True)
+
+    with open(str(tmp_path / "r" / "progress.txt")) as f:
+        lines = [l for l in f.read().splitlines() if l.strip()]
+    header, rows = lines[0], lines[1:]
+    assert header.startswith("Epoch")
+    assert len(rows) == 3                      # 1 pre-kill + 2 resumed
+    epochs = [int(float(r.split("\t")[0])) for r in rows]
+    assert epochs == [1, 2, 3]
+    assert osp.exists(str(tmp_path / "r" / "checkpoint_epoch3.pt"))
+    # Resumed LR schedule picked up where it left off.
+    assert tr.learner._epoch == 3

@@ -80,7 +80,14 @@ def _multihost() -> bool:
 class Logger:
     """Writes diagnostics to stdout and a TSV ``progress.txt``."""
 
-    def __init__(self, output_dir=None, output_fname='progress.txt', exp_name=None):
+    def __init__(self, output_dir=None, output_fname='progress.txt', exp_name=None,
+                 append=False):
+        """``append=True`` (extension beyond the reference) continues an
+        existing progress.txt instead of truncating it — used by resumed
+        ``run_fast`` runs.  The header line is only written when the file is
+        fresh; column order is reproducible because the driver emits the same
+        ``log_tabular`` sequence every epoch."""
+        self._skip_header = False
         if proc_id() == 0:
             self.output_dir = output_dir or "/tmp/experiments/%i" % int(time.time())
             if osp.exists(self.output_dir):
@@ -88,7 +95,10 @@ class Logger:
                       % self.output_dir)
             else:
                 os.makedirs(self.output_dir)
-            self.output_file = open(osp.join(self.output_dir, output_fname), 'w')
+            fpath = osp.join(self.output_dir, output_fname)
+            mode = 'a' if append and osp.exists(fpath) and os.path.getsize(fpath) else 'w'
+            self._skip_header = (mode == 'a')
+            self.output_file = open(fpath, mode)
             atexit.register(self.output_file.close)
             print(colorize("Logging data to %s" % self.output_file.name, 'green', bold=True))
         else:
@@ -141,7 +151,7 @@ class Logger:
                 vals.append(val)
             print("-" * n_slashes, flush=True)
             if self.output_file is not None:
-                if self.first_row:
+                if self.first_row and not self._skip_header:
                     self.output_file.write("\t".join(self.log_headers) + "\n")
                 self.output_file.write("\t".join(map(str, vals)) + "\n")
                 self.output_file.flush()
