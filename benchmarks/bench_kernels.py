@@ -44,15 +44,18 @@ def main():
 
     edges = n * m
 
-    ref_fn = jax.jit(lambda: flash_gat_reference(el, er, attn, mask, h))
-    pal_fn = jax.jit(lambda: flash_gat(el, er, attn, mask, h))
+    # Arrays must be jit ARGUMENTS, not closure captures: captured device
+    # arrays are baked into the lowered HLO as constants, and at these sizes
+    # (GBs) that ships the whole tensor through the remote compile service.
+    ref_fn = jax.jit(lambda a, b, c, d: flash_gat_reference(a, b, c, d, h))
+    pal_fn = jax.jit(lambda a, b, c, d: flash_gat(a, b, c, d, h))
 
     for name, fn in [("xla-dense", ref_fn), ("pallas-flash", pal_fn)]:
-        out = fn()
+        out = fn(el, er, attn, mask)
         checksum = float(jnp.sum(out))  # sync + warmup
         t0 = time.perf_counter()
         for _ in range(args.reps):
-            out = fn()
+            out = fn(el, er, attn, mask)
         _ = float(jnp.sum(out))
         dt = time.perf_counter() - t0
         per = dt / args.reps
