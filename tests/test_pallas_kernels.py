@@ -47,6 +47,57 @@ def test_flash_gat_online_softmax_stability():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3, rtol=1e-3)
 
 
+@pytest.mark.parametrize("n,m,d,heads,f,tile_m", [
+    (16, 128, 8, 4, 64, 128),    # exact tile fit
+    (10, 200, 5, 4, 64, 128),    # padding in N and M, odd feature width
+    (8, 256, 6, 2, 128, 128),    # multiple M tiles (online softmax carry)
+])
+def test_flash_gat_fused_matches_reference(n, m, d, heads, f, tile_m):
+    from uav_bs_ctrl_tpu.ops.pallas_kernels import (flash_gat_fused,
+                                                    flash_gat_fused_reference)
+    rng = np.random.default_rng(0)
+    hf = heads * f
+    x = jnp.asarray(rng.normal(size=(n, m, d)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(d, hf)).astype(np.float32) / np.sqrt(d))
+    b = jnp.asarray(rng.normal(size=(hf,)).astype(np.float32))
+    er = jnp.asarray(rng.normal(size=(n, hf)).astype(np.float32))
+    attn = jnp.asarray(rng.normal(size=(heads, f)).astype(np.float32))
+    mask = jnp.asarray(rng.random((n, m)) > 0.4)
+    mask = mask.at[1].set(False)  # an all-masked destination -> exact zeros
+
+    ref = flash_gat_fused_reference(x, w, b, er, attn, mask, heads)
+    out = flash_gat_fused(x, w, b, er, attn, mask, heads, tile_n=8,
+                          tile_m=tile_m, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out[1]), 0.0)
+
+
+def test_gatv2_pallas_fused_backend_matches_dense():
+    """End-to-end module check: backend='pallas_fused' == backend='dense'."""
+    import jax as _jax
+    from uav_bs_ctrl_tpu.models.encoders import gatv2, gatv2_init
+    rng = np.random.default_rng(2)
+    n, m, d_src, d_dst, heads, fph = 12, 40, 6, 10, 4, 16
+    p = gatv2_init(_jax.random.PRNGKey(0), d_src, d_dst, heads, fph)
+    x_src = jnp.asarray(rng.normal(size=(n, m, d_src)).astype(np.float32))
+    x_dst = jnp.asarray(rng.normal(size=(n, d_dst)).astype(np.float32))
+    mask = jnp.asarray(rng.random((n, m)) > 0.5)
+
+    dense = gatv2(p, x_src, x_dst, mask, heads, backend="dense")
+    # interpret-mode pallas on CPU: thread through the kernel entry directly
+    # by monkeypatching jit-static interpret is awkward; instead call the
+    # fused kernel with interpret=True and replicate gatv2's residual+relu.
+    from uav_bs_ctrl_tpu.ops.pallas_kernels import flash_gat_fused
+    ft = flash_gat_fused(x_src, p["fc_src"]["w"], p["fc_src"]["b"],
+                         x_dst @ p["fc_dst"]["w"] + p["fc_dst"]["b"],
+                         p["attn"], mask, heads, interpret=True)
+    rst = ft + (x_dst @ p["res_fc"]["w"] + p["res_fc"]["b"])
+    fused = _jax.nn.relu(rst)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(dense),
+                               atol=2e-4, rtol=1e-4)
+
+
 def test_csr_segment_sum_matches_xla():
     from uav_bs_ctrl_tpu.ops.pallas_kernels import csr_segment_sum
     from uav_bs_ctrl_tpu.ops import segment

@@ -62,10 +62,10 @@ def gatv2(p, x_src, x_dst, mask, n_heads, negative_slope=0.2, activation=jax.nn.
         # slots): zero in-degree everywhere -> residual(+activation) only.
         rst = linear(p["res_fc"], x_dst) if "res_fc" in p else x_dst
         return activation(rst) if activation is not None else rst
-    el = linear(p["fc_src"], x_src)                       # [..., M, H*F]
     er = linear(p["fc_dst"], x_dst)                       # [..., H*F]
 
     if backend == "pallas":
+        el = linear(p["fc_src"], x_src)                   # [..., M, H*F]
         from uav_bs_ctrl_tpu.ops.pallas_kernels import flash_gat
         batch_shape = el.shape[:-2]
         m = el.shape[-2]
@@ -76,7 +76,23 @@ def gatv2(p, x_src, x_dst, mask, n_heads, negative_slope=0.2, activation=jax.nn.
         ft_flat = flash_gat(el2, er2, p["attn"], mask2, n_heads,
                             negative_slope=negative_slope)
         rst = ft_flat.reshape(batch_shape + (hf,))
+    elif backend == "pallas_fused":
+        # Projection fused into the kernel: el ([.., M, H*F]) never hits HBM;
+        # per-edge HBM reads shrink from H*F to d_src floats.
+        from uav_bs_ctrl_tpu.ops.pallas_kernels import flash_gat_fused
+        batch_shape = x_src.shape[:-2]
+        m = x_src.shape[-2]
+        d_src = x_src.shape[-1]
+        hf = er.shape[-1]
+        x2 = x_src.reshape((-1, m, d_src))
+        er2 = er.reshape((-1, hf))
+        mask2 = jnp.broadcast_to(mask, batch_shape + (m,)).reshape((-1, m))
+        ft_flat = flash_gat_fused(x2, p["fc_src"]["w"], p["fc_src"]["b"],
+                                  er2, p["attn"], mask2, n_heads,
+                                  negative_slope=negative_slope)
+        rst = ft_flat.reshape(batch_shape + (hf,))
     else:
+        el = linear(p["fc_src"], x_src)                   # [..., M, H*F]
         el_h = el.reshape(el.shape[:-1] + (n_heads, feats))
         er_h = er[..., None, :].reshape(er.shape[:-1] + (1, n_heads, feats))
         e = jax.nn.leaky_relu(el_h + er_h, negative_slope)     # [..., M, H, F]

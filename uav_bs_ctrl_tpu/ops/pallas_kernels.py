@@ -145,6 +145,149 @@ def flash_gat(el, er, attn, mask, n_heads, negative_slope=0.2,
     return out[:n]
 
 
+def _flash_gat_fused_kernel(x_ref, w_ref, b_ref, er_ref, attn_ref, mask_ref,
+                            out_ref, m_scr, l_scr, acc_scr, *, n_heads,
+                            negative_slope):
+    """Online-softmax GAT block with the source projection fused in.
+
+    Identical contract to ``_flash_gat_kernel`` except ``el`` is computed
+    on-chip as ``x_blk @ W_src + b`` — the [TN, TM, H*F] transformed-source
+    tensor lives only in VMEM, never HBM.  Per-edge HBM read traffic drops
+    from H*F floats (256 in the exp configs) to d_src floats (the raw
+    neighborhood feature width, ~4-8), which is where both the dense and the
+    unfused-Pallas paths were bandwidth-bound (benchmarks/RESULTS.md swarm
+    A/B).  The matmul itself is MXU work added against spare compute.
+    """
+    j = pl.program_id(1)
+    n_j = pl.num_programs(1)
+
+    x = x_ref[:]                      # [TN, TM, D]
+    w = w_ref[:]                      # [D, H*F]
+    b = b_ref[:]                      # [1, H*F]
+    mask = mask_ref[:]                # [TN, TM] (float 0/1)
+
+    tn, tm, d = x.shape
+    hf = w.shape[1]
+    f = hf // n_heads
+
+    # Fused projection (f32 accumulate on the MXU). Reshape only merges the
+    # leading (sublane) dims — Mosaic rejects lane-splitting reshapes, not
+    # this one.
+    el = jax.lax.dot_general(
+        x.reshape(tn * tm, d).astype(jnp.float32), w.astype(jnp.float32),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    el = (el + b.astype(jnp.float32)).reshape(tn, tm, hf)
+    er = er_ref[:].astype(jnp.float32)                       # [TN, H*F]
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_BIG)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    for h in range(n_heads):
+        sl = slice(h * f, (h + 1) * f)
+        el_h = el[:, :, sl]                                  # [TN, TM, F]
+        er_h = er[:, sl]                                     # [TN, F]
+        attn_h = attn_ref[h, :].astype(jnp.float32)          # [F]
+
+        e = el_h + er_h[:, None, :]
+        e = jnp.where(e >= 0, e, negative_slope * e)
+        scores = jnp.sum(e * attn_h[None, None, :], axis=-1)  # [TN, TM]
+        scores = jnp.where(mask > 0, scores, _NEG_BIG)
+
+        m_old = m_scr[:, h:h + 1]
+        m_blk = jnp.max(scores, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_old, m_blk)
+        shift = jnp.where(m_new <= _NEG_BIG / 2, 0.0, m_new)
+
+        p = jnp.exp(scores - shift)
+        p = jnp.where(mask > 0, p, 0.0)
+
+        scale = jnp.exp(jnp.where(m_old <= _NEG_BIG / 2, 0.0, m_old) - shift)
+
+        l_scr[:, h:h + 1] = l_scr[:, h:h + 1] * scale + jnp.sum(p, axis=1,
+                                                                keepdims=True)
+        contrib = jnp.sum(p[:, :, None] * el_h, axis=1)
+        acc_scr[:, sl] = acc_scr[:, sl] * scale + contrib
+        m_scr[:, h:h + 1] = m_new
+
+    @pl.when(j == n_j - 1)
+    def _finalize():
+        for h in range(n_heads):
+            sl = slice(h * f, (h + 1) * f)
+            denom = jnp.maximum(l_scr[:, h:h + 1], 1e-30)
+            out_ref[:, sl] = (acc_scr[:, sl] / denom).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_heads", "negative_slope",
+                                             "tile_n", "tile_m", "interpret"))
+def flash_gat_fused(x_src, w_src, b_src, er, attn, mask, n_heads,
+                    negative_slope=0.2, tile_n=8, tile_m=128, interpret=False):
+    """Fused projection + masked GATv2 attention + aggregation.
+
+    x_src: [N, M, D] RAW source features per destination slot
+    w_src: [D, H*F], b_src: [H*F]  — the fc_src linear (projected on-chip)
+    er:    [N, H*F]  transformed destination features
+    attn:  [H, F]    attention vector per head
+    mask:  [N, M]    slot validity
+    Returns [N, H*F]; same math as ``flash_gat(x_src @ w_src + b_src, ...)``
+    but the projected tensor is never materialized in HBM.
+    """
+    n, m, d = x_src.shape
+    hf = w_src.shape[1]
+    assert hf % n_heads == 0
+
+    pad_n = (-n) % tile_n
+    pad_m = (-m) % tile_m
+    if pad_n or pad_m:
+        x_src = jnp.pad(x_src, ((0, pad_n), (0, pad_m), (0, 0)))
+        er = jnp.pad(er, ((0, pad_n), (0, 0)))
+        mask = jnp.pad(mask, ((0, pad_n), (0, pad_m)))
+    np_, mp_ = x_src.shape[0], x_src.shape[1]
+
+    mask_f = mask.astype(x_src.dtype)
+    grid = (np_ // tile_n, mp_ // tile_m)
+
+    out = pl.pallas_call(
+        functools.partial(_flash_gat_fused_kernel, n_heads=n_heads,
+                          negative_slope=negative_slope),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_n, tile_m, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, hf), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hf), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, hf), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_heads, hf // n_heads), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, tile_m), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_n, hf), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((np_, hf), x_src.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tile_n, n_heads), jnp.float32),
+            pltpu.VMEM((tile_n, n_heads), jnp.float32),
+            pltpu.VMEM((tile_n, hf), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x_src, w_src, b_src.reshape(1, hf), er, attn, mask_f)
+
+    return out[:n]
+
+
+def flash_gat_fused_reference(x_src, w_src, b_src, er, attn, mask, n_heads,
+                              negative_slope=0.2):
+    """Dense XLA twin of ``flash_gat_fused`` (materializes el)."""
+    el = x_src @ w_src + b_src
+    return flash_gat_reference(el, er, attn, mask, n_heads, negative_slope)
+
+
 def flash_gat_reference(el, er, attn, mask, n_heads, negative_slope=0.2):
     """Dense XLA twin of ``flash_gat`` (same contract, materialized scores)."""
     n, m, hf = el.shape
