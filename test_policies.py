@@ -23,6 +23,39 @@ TEST_FUNCTIONS = {
 }
 
 
+def parse_run_config(config, device=None):
+    """Normalize a saved ``config.json`` into (algo, env_fn, env_kwargs, args).
+
+    Two on-disk formats exist:
+    - classic ``train()`` runs (reference layout, ``test_policies.py:47-60``):
+      ``env_fn`` holds the env class name and ``args`` is a single-entry dict.
+    - ``run_fast.py`` fused-trainer runs: ``exp`` ∈ {exp1, exp2, exp3} with
+      ``env_kwargs`` (exp1) or ``map_id`` (exp2/3) and a flat ``args`` dict.
+    Checkpoints are interchangeable (same param pytrees; see
+    ``tests/test_vec_train.py::test_vec_checkpoint_loads_in_classic_learner``).
+    """
+    args = config['args']
+    if isinstance(args, dict) and args and isinstance(list(args.values())[0], dict):
+        args = list(args.values())[0]
+    args = dict(args)
+    if device is not None:
+        args['device'] = device
+
+    if 'env_fn' in config:
+        algo = config.get('algo', 'madrqn')
+        env_fn = env_REGISTRY[config['env_fn']]
+        env_kwargs = config['env_kwargs']
+    elif config.get('exp') == 'exp1':
+        algo = 'drqn'
+        env_fn = env_REGISTRY['SingleUbsCoverageEnv']
+        env_kwargs = dict(config['env_kwargs'])
+    else:
+        algo = 'madrqn'
+        env_fn = env_REGISTRY['MultiUbsCoverageEnv']
+        env_kwargs = dict(map_id=config['map_id'])
+    return algo, env_fn, env_kwargs, args
+
+
 def insert_data(dataset, exp_name, new_data):
     """Merge results of one run into the per-experiment dataset."""
     if exp_name not in dataset:
@@ -36,7 +69,8 @@ def insert_data(dataset, exp_name, new_data):
     return dataset
 
 
-def test_series(algo_name, metrics, all_logdirs, checkpoint, n_episodes, output_dir):
+def test_series(algo_name, metrics, all_logdirs, checkpoint, n_episodes, output_dir,
+                device=None):
     """Evaluate every run directory containing the requested checkpoint."""
     dataset = {}
 
@@ -48,15 +82,13 @@ def test_series(algo_name, metrics, all_logdirs, checkpoint, n_episodes, output_
 
                 exp_name = config['exp_name']
                 seed = config['seed']
-                env_fn = env_REGISTRY[config['env_fn']]
-                env_kwargs = config['env_kwargs']
+                algo, env_fn, env_kwargs, args = parse_run_config(config, device)
                 model_path = osp.join(root, checkpoint)
-                args = list(config['args'].values())[0]
 
                 subdir = osp.join(output_dir, exp_name + f'_seed{seed}')
                 os.makedirs(subdir, exist_ok=True)
 
-                test_fn = TEST_FUNCTIONS[algo_name]
+                test_fn = TEST_FUNCTIONS[algo_name or algo]
                 test_rsts = test_fn(model_path, env_fn, env_kwargs, seed, args,
                                     n_episodes, subdir)
                 dataset = insert_data(dataset, exp_name, test_rsts)
@@ -99,13 +131,34 @@ def test_series(algo_name, metrics, all_logdirs, checkpoint, n_episodes, output_
 
 
 if __name__ == '__main__':
-    base_dir = './data'
+    import argparse
 
-    # Test all candidates in experiment 1.
-    grps = [2, 3, 4]
-    agents = ['rnn', 'gnn']
-    metrics = ['EpRet', 'AvgGlobalUtility', 'TotalThroughput', 'FairIdx']
-    for n_grps in grps:
-        all_logdirs = [osp.join(base_dir, f"exp1_grp{n_grps}_{agent}") for agent in agents]
-        output_dir = osp.join('./data', 'test_exp1', f'{n_grps}grps')
-        test_series('drqn', metrics, all_logdirs, 'checkpoint_epoch50.pt', 10, output_dir)
+    parser = argparse.ArgumentParser(
+        description="Evaluate trained checkpoints (classic or run_fast outputs).")
+    parser.add_argument('--logdirs', nargs='+', default=None,
+                        help="run directories to walk (default: exp1 grid)")
+    parser.add_argument('--ckpt', default='checkpoint_epoch50.pt')
+    parser.add_argument('--algo', default=None, choices=(None, 'drqn', 'madrqn'),
+                        help="override; inferred from each config.json if omitted")
+    parser.add_argument('--episodes', '-n', type=int, default=10)
+    parser.add_argument('--out', default=None)
+    parser.add_argument('--device', default='cpu',
+                        help="evaluation device (greedy rollouts are host-cheap)")
+    parser.add_argument('--metrics', nargs='+',
+                        default=['EpRet', 'AvgGlobalUtility', 'TotalThroughput',
+                                 'FairIdx'])
+    cli = parser.parse_args()
+
+    base_dir = './data'
+    if cli.logdirs:
+        out = cli.out or osp.join(base_dir, 'test_series')
+        test_series(cli.algo, cli.metrics, cli.logdirs, cli.ckpt, cli.episodes,
+                    out, device=cli.device)
+    else:
+        # Reference default: all candidates in experiment 1.
+        for n_grps in [2, 3, 4]:
+            all_logdirs = [osp.join(base_dir, f"exp1_grp{n_grps}_{agent}")
+                           for agent in ['rnn', 'gnn']]
+            output_dir = osp.join(base_dir, 'test_exp1', f'{n_grps}grps')
+            test_series('drqn', cli.metrics, all_logdirs, cli.ckpt, cli.episodes,
+                        output_dir, device=cli.device)

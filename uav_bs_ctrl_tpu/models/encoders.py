@@ -78,8 +78,10 @@ def gatv2(p, x_src, x_dst, mask, n_heads, negative_slope=0.2, activation=jax.nn.
         rst = ft_flat.reshape(batch_shape + (hf,))
     elif backend == "pallas_fused":
         # Projection fused into the kernel: el ([.., M, H*F]) never hits HBM;
-        # per-edge HBM reads shrink from H*F to d_src floats.
-        from uav_bs_ctrl_tpu.ops.pallas_kernels import flash_gat_fused
+        # per-edge HBM reads shrink from H*F to d_src floats.  Differentiable
+        # (custom VJP with a flash-style recompute backward) — usable inside
+        # the jitted training update, not just acting.
+        from uav_bs_ctrl_tpu.ops.pallas_kernels import flash_gat_fused_train
         batch_shape = x_src.shape[:-2]
         m = x_src.shape[-2]
         d_src = x_src.shape[-1]
@@ -87,9 +89,10 @@ def gatv2(p, x_src, x_dst, mask, n_heads, negative_slope=0.2, activation=jax.nn.
         x2 = x_src.reshape((-1, m, d_src))
         er2 = er.reshape((-1, hf))
         mask2 = jnp.broadcast_to(mask, batch_shape + (m,)).reshape((-1, m))
-        ft_flat = flash_gat_fused(x2, p["fc_src"]["w"], p["fc_src"]["b"],
-                                  er2, p["attn"], mask2, n_heads,
-                                  negative_slope=negative_slope)
+        ft_flat = flash_gat_fused_train(x2, p["fc_src"]["w"], p["fc_src"]["b"],
+                                        er2, p["attn"],
+                                        mask2.astype(x_src.dtype), n_heads,
+                                        negative_slope)
         rst = ft_flat.reshape(batch_shape + (hf,))
     else:
         el = linear(p["fc_src"], x_src)                   # [..., M, H*F]

@@ -146,7 +146,8 @@ def flash_gat(el, er, attn, mask, n_heads, negative_slope=0.2,
 
 
 def _flash_gat_fused_kernel(x_ref, w_ref, b_ref, er_ref, attn_ref, mask_ref,
-                            out_ref, m_scr, l_scr, acc_scr, *, n_heads,
+                            out_ref, mstat_ref, lstat_ref,
+                            m_scr, l_scr, acc_scr, *, n_heads,
                             negative_slope):
     """Online-softmax GAT block with the source projection fused in.
 
@@ -218,12 +219,17 @@ def _flash_gat_fused_kernel(x_ref, w_ref, b_ref, er_ref, attn_ref, mask_ref,
             sl = slice(h * f, (h + 1) * f)
             denom = jnp.maximum(l_scr[:, h:h + 1], 1e-30)
             out_ref[:, sl] = (acc_scr[:, sl] / denom).astype(out_ref.dtype)
+        # Softmax stats for the backward pass (flash-attention style).
+        mstat_ref[:] = m_scr[:]
+        lstat_ref[:] = l_scr[:]
 
 
 @functools.partial(jax.jit, static_argnames=("n_heads", "negative_slope",
-                                             "tile_n", "tile_m", "interpret"))
+                                             "tile_n", "tile_m", "interpret",
+                                             "return_stats"))
 def flash_gat_fused(x_src, w_src, b_src, er, attn, mask, n_heads,
-                    negative_slope=0.2, tile_n=8, tile_m=128, interpret=False):
+                    negative_slope=0.2, tile_n=8, tile_m=128, interpret=None,
+                    return_stats=False):
     """Fused projection + masked GATv2 attention + aggregation.
 
     x_src: [N, M, D] RAW source features per destination slot
@@ -234,6 +240,8 @@ def flash_gat_fused(x_src, w_src, b_src, er, attn, mask, n_heads,
     Returns [N, H*F]; same math as ``flash_gat(x_src @ w_src + b_src, ...)``
     but the projected tensor is never materialized in HBM.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     n, m, d = x_src.shape
     hf = w_src.shape[1]
     assert hf % n_heads == 0
@@ -267,9 +275,19 @@ def flash_gat_fused(x_src, w_src, b_src, er, attn, mask, n_heads,
             pl.BlockSpec((tile_n, tile_m), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile_n, hf), lambda i, j: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((np_, hf), x_src.dtype),
+        out_specs=[
+            pl.BlockSpec((tile_n, hf), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, n_heads), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, n_heads), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((np_, hf), x_src.dtype),
+            jax.ShapeDtypeStruct((np_, n_heads), jnp.float32),
+            jax.ShapeDtypeStruct((np_, n_heads), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((tile_n, n_heads), jnp.float32),
             pltpu.VMEM((tile_n, n_heads), jnp.float32),
@@ -278,6 +296,9 @@ def flash_gat_fused(x_src, w_src, b_src, er, attn, mask, n_heads,
         interpret=interpret,
     )(x_src, w_src, b_src.reshape(1, hf), er, attn, mask_f)
 
+    out, mstat, lstat = out
+    if return_stats:
+        return out[:n], mstat[:n], lstat[:n]
     return out[:n]
 
 
@@ -286,6 +307,205 @@ def flash_gat_fused_reference(x_src, w_src, b_src, er, attn, mask, n_heads,
     """Dense XLA twin of ``flash_gat_fused`` (materializes el)."""
     el = x_src @ w_src + b_src
     return flash_gat_reference(el, er, attn, mask, n_heads, negative_slope)
+
+
+def _flash_gat_fused_bwd_kernel(x_ref, w_ref, b_ref, er_ref, attn_ref,
+                                mask_ref, g_ref, dvec_ref, mstat_ref,
+                                lstat_ref, dx_ref, dw_ref, db_ref, der_ref,
+                                dattn_ref, *, n_heads, negative_slope):
+    """Flash-style backward: recompute el/alpha per block, accumulate grads.
+
+    Cotangent math (g = dL/dout, per head h; alpha the masked softmax,
+    z = el + er, D[n,h] = sum_f g_h . out_h precomputed in XLA):
+
+      d_alpha = sum_f g_h * el_h            d_s = alpha * (d_alpha - D)
+      d_z     = d_s[...,None] * attn_h * leaky'(z)
+      d_el    = alpha * g_h + d_z           d_er = sum_m d_z
+      d_attn  = sum_{n,m} d_s * leaky(z)    d_x = d_el @ w.T
+      d_w     = x^T d_el                    d_b = sum d_el
+
+    Masked slots have alpha = 0 and d_s = 0, so every gradient term vanishes
+    there without extra branches.  All accumulators are f32; the i/j grid is
+    sequential on TPU, so constant-index output blocks (dw/db/dattn) and the
+    j-revisited der block accumulate safely in VMEM.
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    x = x_ref[:]                       # [TN, TM, D]
+    w = w_ref[:].astype(jnp.float32)   # [D, HF]
+    b = b_ref[:].astype(jnp.float32)   # [1, HF]
+    mask = mask_ref[:]                 # [TN, TM]
+    g = g_ref[:].astype(jnp.float32)   # [TN, HF]
+    er = er_ref[:].astype(jnp.float32)
+    dvec = dvec_ref[:]                 # [TN, H]  (f32)
+    mstat = mstat_ref[:]               # [TN, H]
+    lstat = lstat_ref[:]               # [TN, H]
+
+    tn, tm, d = x.shape
+    hf = w.shape[1]
+    f = hf // n_heads
+
+    @pl.when((i == 0) & (j == 0))
+    def _init_global():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+        dattn_ref[:] = jnp.zeros_like(dattn_ref)
+
+    @pl.when(j == 0)
+    def _init_row():
+        der_ref[:] = jnp.zeros_like(der_ref)
+
+    x_flat = x.reshape(tn * tm, d).astype(jnp.float32)
+    el = jax.lax.dot_general(x_flat, w, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    el = (el + b).reshape(tn, tm, hf)
+
+    d_el = jnp.zeros((tn, tm, hf), jnp.float32)
+    for h in range(n_heads):
+        sl = slice(h * f, (h + 1) * f)
+        el_h = el[:, :, sl]                                  # [TN, TM, F]
+        er_h = er[:, sl]                                     # [TN, F]
+        attn_h = attn_ref[h, :].astype(jnp.float32)          # [F]
+        g_h = g[:, sl]                                       # [TN, F]
+
+        z = el_h + er_h[:, None, :]
+        lz = jnp.where(z >= 0, z, negative_slope * z)
+        scores = jnp.sum(lz * attn_h[None, None, :], axis=-1)  # [TN, TM]
+
+        m_h = mstat[:, h:h + 1]
+        shift = jnp.where(m_h <= _NEG_BIG / 2, 0.0, m_h)
+        p = jnp.where(mask > 0, jnp.exp(scores - shift), 0.0)
+        alpha = p / jnp.maximum(lstat[:, h:h + 1], 1e-30)    # [TN, TM]
+
+        d_alpha = jnp.sum(g_h[:, None, :] * el_h, axis=-1)   # [TN, TM]
+        d_s = alpha * (d_alpha - dvec[:, h:h + 1])           # [TN, TM]
+
+        dleaky = jnp.where(z >= 0, 1.0, negative_slope)
+        d_z = d_s[:, :, None] * attn_h[None, None, :] * dleaky  # [TN, TM, F]
+
+        d_el = d_el.at[:, :, sl].set(alpha[:, :, None] * g_h[:, None, :] + d_z)
+        der_ref[:, sl] += jnp.sum(d_z, axis=1)
+        # Two-step reduction keeps every intermediate >= 2-D for Mosaic.
+        da_h = jnp.sum(jnp.sum(d_s[:, :, None] * lz, axis=1), axis=0,
+                       keepdims=True)                        # [1, F]
+        dattn_ref[h:h + 1, :] += da_h
+
+    d_el_flat = d_el.reshape(tn * tm, hf)
+    dx = jax.lax.dot_general(d_el_flat, w, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dx_ref[:] = dx.reshape(tn, tm, d).astype(dx_ref.dtype)
+    dw_ref[:] += jax.lax.dot_general(x_flat, d_el_flat,
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+    db_ref[:] += jnp.sum(d_el_flat, axis=0, keepdims=True)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def flash_gat_fused_train(x_src, w_src, b_src, er, attn, mask_f, n_heads,
+                          negative_slope=0.2, tile_n=8, tile_m=128,
+                          interpret=None):
+    """Differentiable ``flash_gat_fused`` (Pallas forward AND backward).
+
+    ``mask_f`` must be a float 0/1 array (gets a zero cotangent).  Training
+    use-site: ``models.encoders.gatv2`` with ``backend='pallas_fused'``.
+    """
+    return flash_gat_fused(x_src, w_src, b_src, er, attn, mask_f, n_heads,
+                           negative_slope=negative_slope, tile_n=tile_n,
+                           tile_m=tile_m, interpret=interpret)
+
+
+def _fgf_fwd(x_src, w_src, b_src, er, attn, mask_f, n_heads, negative_slope,
+             tile_n, tile_m, interpret):
+    out, mstat, lstat = flash_gat_fused(
+        x_src, w_src, b_src, er, attn, mask_f, n_heads,
+        negative_slope=negative_slope, tile_n=tile_n, tile_m=tile_m,
+        interpret=interpret, return_stats=True)
+    return out, (x_src, w_src, b_src, er, attn, mask_f, out, mstat, lstat)
+
+
+def _fgf_bwd(n_heads, negative_slope, tile_n, tile_m, interpret, res, g):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    x_src, w_src, b_src, er, attn, mask_f, out, mstat, lstat = res
+    n, m, d = x_src.shape
+    hf = w_src.shape[1]
+    f = hf // n_heads
+
+    # D[n,h] = sum_f g_h . out_h (tiny; cheaper in XLA than in-kernel).
+    dvec = jnp.sum((g * out).astype(jnp.float32).reshape(n, n_heads, f),
+                   axis=-1)
+
+    pad_n = (-n) % tile_n
+    pad_m = (-m) % tile_m
+    if pad_n or pad_m:
+        x_src = jnp.pad(x_src, ((0, pad_n), (0, pad_m), (0, 0)))
+        mask_f = jnp.pad(mask_f, ((0, pad_n), (0, pad_m)))
+        er = jnp.pad(er, ((0, pad_n), (0, 0)))
+        g = jnp.pad(g, ((0, pad_n), (0, 0)))
+        dvec = jnp.pad(dvec, ((0, pad_n), (0, 0)))
+        # Padded rows: lstat=0 -> alpha=0; mstat=_NEG_BIG -> shift=0. Safe.
+        mstat = jnp.pad(mstat, ((0, pad_n), (0, 0)),
+                        constant_values=_NEG_BIG)
+        lstat = jnp.pad(lstat, ((0, pad_n), (0, 0)))
+    np_, mp_ = x_src.shape[0], x_src.shape[1]
+    grid = (np_ // tile_n, mp_ // tile_m)
+
+    dx, dw, db, der, dattn = pl.pallas_call(
+        functools.partial(_flash_gat_fused_bwd_kernel, n_heads=n_heads,
+                          negative_slope=negative_slope),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_n, tile_m, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, hf), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hf), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, hf), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_heads, f), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, tile_m), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, hf), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, n_heads), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, n_heads), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, n_heads), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_n, tile_m, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, hf), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hf), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, hf), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_heads, f), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((np_, mp_, d), x_src.dtype),
+            jax.ShapeDtypeStruct((d, hf), jnp.float32),
+            jax.ShapeDtypeStruct((1, hf), jnp.float32),
+            jax.ShapeDtypeStruct((np_, hf), jnp.float32),
+            jax.ShapeDtypeStruct((n_heads, f), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x_src, w_src, b_src.reshape(1, hf), er, attn, mask_f, g, dvec,
+      mstat, lstat)
+
+    return (dx[:n, :m], dw.astype(w_src.dtype), db[0].astype(b_src.dtype),
+            der[:n].astype(er.dtype), dattn.astype(attn.dtype),
+            jnp.zeros((n, m), mask_f.dtype))
+
+
+flash_gat_fused_train.defvjp(_fgf_fwd, _fgf_bwd)
 
 
 def flash_gat_reference(el, er, attn, mask, n_heads, negative_slope=0.2):
