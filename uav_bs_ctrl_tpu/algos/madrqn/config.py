@@ -18,7 +18,10 @@ DEFAULT_CONFIG = {
     'key_size': 16,
     'n_rounds': 1,
     'embed_dim': 32,       # QMixer embedding dim
-    'gat_backend': 'dense',  # 'dense' (XLA) or 'pallas' (flash kernel, swarm scale)
+    # 'dense' (XLA) | 'pallas' (flash kernel, fwd-only use) | 'pallas_fused'
+    # (projection-fused flash kernel with custom-VJP backward — trainable,
+    # lowest HBM traffic at swarm scale)
+    'gat_backend': 'dense',
     'compute_dtype': 'float32',  # 'bfloat16' -> mixed-precision net compute (MXU-native)
 
     # Basic training hyperparameters
