@@ -63,6 +63,31 @@ def main():
     np.testing.assert_allclose(s_fus, s_dense, rtol=1e-3)
     print(f"speedup vs dense: {t_dense / t_fus:.2f}x, vs unfused pallas: {t_unf / t_fus:.2f}x")
 
+    # MXU-contraction variant (block-diag score matmul + single-batch
+    # aggregation dot_general) across tile sizes: the VPU multiply+reduce
+    # path above was the bound after the projection fusion (RESULTS.md).
+    best = (t_fus, "pallas+fuse tile_n=8")
+    for mxu in (False, True):
+        for tile_n in (8, 16, 32):
+            if not mxu and tile_n == 8:
+                continue  # already measured above
+            try:
+                k = jax.jit(lambda *a, tn=tile_n, mx=mxu: flash_gat_fused(
+                    *a, n_heads=heads, tile_n=tn, mxu=mx))
+                t, s = timed(k, x, w, b, er, attn, mask)
+            except Exception as exc:  # Mosaic lowering rejection
+                print(f"mxu={int(mxu)} tile_n={tile_n:3d}: FAILED "
+                      f"({type(exc).__name__}: {str(exc)[:120]})", flush=True)
+                continue
+            ok = "OK " if abs(s - s_dense) / abs(s_dense) < 1e-3 else "BAD"
+            print(f"mxu={int(mxu)} tile_n={tile_n:3d}: {t * 1e3:8.2f} ms  "
+                  f"{edges / t / 1e6:8.1f} M edges/s  sum={s:.3f} {ok}",
+                  flush=True)
+            if ok == "OK " and t < best[0]:
+                best = (t, f"mxu={int(mxu)} tile_n={tile_n}")
+    print(f"best: {best[1]} at {best[0] * 1e3:.2f} ms "
+          f"({t_dense / best[0]:.2f}x vs dense)")
+
 
 if __name__ == "__main__":
     main()

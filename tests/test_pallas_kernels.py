@@ -47,12 +47,13 @@ def test_flash_gat_online_softmax_stability():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3, rtol=1e-3)
 
 
+@pytest.mark.parametrize("mxu", [False, True])
 @pytest.mark.parametrize("n,m,d,heads,f,tile_m", [
     (16, 128, 8, 4, 64, 128),    # exact tile fit
     (10, 200, 5, 4, 64, 128),    # padding in N and M, odd feature width
     (8, 256, 6, 2, 128, 128),    # multiple M tiles (online softmax carry)
 ])
-def test_flash_gat_fused_matches_reference(n, m, d, heads, f, tile_m):
+def test_flash_gat_fused_matches_reference(n, m, d, heads, f, tile_m, mxu):
     from uav_bs_ctrl_tpu.ops.pallas_kernels import (flash_gat_fused,
                                                     flash_gat_fused_reference)
     rng = np.random.default_rng(0)
@@ -67,7 +68,7 @@ def test_flash_gat_fused_matches_reference(n, m, d, heads, f, tile_m):
 
     ref = flash_gat_fused_reference(x, w, b, er, attn, mask, heads)
     out = flash_gat_fused(x, w, b, er, attn, mask, heads, tile_n=8,
-                          tile_m=tile_m, interpret=True)
+                          tile_m=tile_m, interpret=True, mxu=mxu)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(out[1]), 0.0)

@@ -146,9 +146,7 @@ def flash_gat(el, er, attn, mask, n_heads, negative_slope=0.2,
 
 
 def _flash_gat_fused_kernel(x_ref, w_ref, b_ref, er_ref, attn_ref, mask_ref,
-                            out_ref, mstat_ref, lstat_ref,
-                            m_scr, l_scr, acc_scr, *, n_heads,
-                            negative_slope):
+                            *refs, n_heads, negative_slope, mxu=False):
     """Online-softmax GAT block with the source projection fused in.
 
     Identical contract to ``_flash_gat_kernel`` except ``el`` is computed
@@ -158,7 +156,18 @@ def _flash_gat_fused_kernel(x_ref, w_ref, b_ref, er_ref, attn_ref, mask_ref,
     neighborhood feature width, ~4-8), which is where both the dense and the
     unfused-Pallas paths were bandwidth-bound (benchmarks/RESULTS.md swarm
     A/B).  The matmul itself is MXU work added against spare compute.
+
+    ``mxu=True`` replaces the per-head VPU multiply+reduce contractions with
+    MXU dot_generals: scores via one block-diagonal attention matmul
+    ``[TN*TM, HF] @ [HF, H]`` (the extra ``attn_blk`` input), aggregation via
+    a single-batch dot_general ``p x el -> [TN, H, HF]`` (Mosaic rejects only
+    multi-batch dots; the bwd kernel already lowers plain dot_generals).
     """
+    if mxu:
+        (attn_blk_ref, out_ref, mstat_ref, lstat_ref,
+         m_scr, l_scr, acc_scr) = refs
+    else:
+        out_ref, mstat_ref, lstat_ref, m_scr, l_scr, acc_scr = refs
     j = pl.program_id(1)
     n_j = pl.num_programs(1)
 
@@ -186,32 +195,63 @@ def _flash_gat_fused_kernel(x_ref, w_ref, b_ref, er_ref, attn_ref, mask_ref,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    for h in range(n_heads):
-        sl = slice(h * f, (h + 1) * f)
-        el_h = el[:, :, sl]                                  # [TN, TM, F]
-        er_h = er[:, sl]                                     # [TN, F]
-        attn_h = attn_ref[h, :].astype(jnp.float32)          # [F]
-
-        e = el_h + er_h[:, None, :]
+    if mxu:
+        ablk = attn_blk_ref[:].astype(jnp.float32)           # [HF, H]
+        e = el + er[:, None, :]                              # [TN, TM, HF]
         e = jnp.where(e >= 0, e, negative_slope * e)
-        scores = jnp.sum(e * attn_h[None, None, :], axis=-1)  # [TN, TM]
-        scores = jnp.where(mask > 0, scores, _NEG_BIG)
+        scores = jax.lax.dot_general(
+            e.reshape(tn * tm, hf), ablk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).reshape(tn, tm, n_heads)
+        scores = jnp.where(mask[:, :, None] > 0, scores, _NEG_BIG)
 
-        m_old = m_scr[:, h:h + 1]
-        m_blk = jnp.max(scores, axis=1, keepdims=True)
-        m_new = jnp.maximum(m_old, m_blk)
+        m_old = m_scr[:]                                     # [TN, H]
+        m_new = jnp.maximum(m_old, jnp.max(scores, axis=1))
         shift = jnp.where(m_new <= _NEG_BIG / 2, 0.0, m_new)
 
-        p = jnp.exp(scores - shift)
-        p = jnp.where(mask > 0, p, 0.0)
+        p = jnp.exp(scores - shift[:, None, :])
+        p = jnp.where(mask[:, :, None] > 0, p, 0.0)          # [TN, TM, H]
 
         scale = jnp.exp(jnp.where(m_old <= _NEG_BIG / 2, 0.0, m_old) - shift)
+        l_scr[:] = l_scr[:] * scale + jnp.sum(p, axis=1)
 
-        l_scr[:, h:h + 1] = l_scr[:, h:h + 1] * scale + jnp.sum(p, axis=1,
-                                                                keepdims=True)
-        contrib = jnp.sum(p[:, :, None] * el_h, axis=1)
-        acc_scr[:, sl] = acc_scr[:, sl] * scale + contrib
-        m_scr[:, h:h + 1] = m_new
+        # Batch n, contract m: [TN, H, HF]; head h's slice of interest is
+        # full[:, h, h*F:(h+1)*F] (the off-diagonal blocks are H-1/H wasted
+        # MACs, but the MXU eats them against the VPU's reduce latency).
+        full = jax.lax.dot_general(p, el, (((1,), (1,)), ((0,), (0,))),
+                                   preferred_element_type=jnp.float32)
+        for h in range(n_heads):
+            sl = slice(h * f, (h + 1) * f)
+            acc_scr[:, sl] = (acc_scr[:, sl] * scale[:, h:h + 1]
+                              + full[:, h, sl])
+        m_scr[:] = m_new
+    else:
+        for h in range(n_heads):
+            sl = slice(h * f, (h + 1) * f)
+            el_h = el[:, :, sl]                              # [TN, TM, F]
+            er_h = er[:, sl]                                 # [TN, F]
+            attn_h = attn_ref[h, :].astype(jnp.float32)      # [F]
+
+            e = el_h + er_h[:, None, :]
+            e = jnp.where(e >= 0, e, negative_slope * e)
+            scores = jnp.sum(e * attn_h[None, None, :], axis=-1)  # [TN, TM]
+            scores = jnp.where(mask > 0, scores, _NEG_BIG)
+
+            m_old = m_scr[:, h:h + 1]
+            m_blk = jnp.max(scores, axis=1, keepdims=True)
+            m_new = jnp.maximum(m_old, m_blk)
+            shift = jnp.where(m_new <= _NEG_BIG / 2, 0.0, m_new)
+
+            p = jnp.exp(scores - shift)
+            p = jnp.where(mask > 0, p, 0.0)
+
+            scale = jnp.exp(jnp.where(m_old <= _NEG_BIG / 2, 0.0, m_old)
+                            - shift)
+
+            l_scr[:, h:h + 1] = (l_scr[:, h:h + 1] * scale
+                                 + jnp.sum(p, axis=1, keepdims=True))
+            contrib = jnp.sum(p[:, :, None] * el_h, axis=1)
+            acc_scr[:, sl] = acc_scr[:, sl] * scale + contrib
+            m_scr[:, h:h + 1] = m_new
 
     @pl.when(j == n_j - 1)
     def _finalize():
@@ -226,10 +266,10 @@ def _flash_gat_fused_kernel(x_ref, w_ref, b_ref, er_ref, attn_ref, mask_ref,
 
 @functools.partial(jax.jit, static_argnames=("n_heads", "negative_slope",
                                              "tile_n", "tile_m", "interpret",
-                                             "return_stats"))
+                                             "return_stats", "mxu"))
 def flash_gat_fused(x_src, w_src, b_src, er, attn, mask, n_heads,
                     negative_slope=0.2, tile_n=8, tile_m=128, interpret=None,
-                    return_stats=False):
+                    return_stats=False, mxu=False):
     """Fused projection + masked GATv2 attention + aggregation.
 
     x_src: [N, M, D] RAW source features per destination slot
@@ -237,6 +277,8 @@ def flash_gat_fused(x_src, w_src, b_src, er, attn, mask, n_heads,
     er:    [N, H*F]  transformed destination features
     attn:  [H, F]    attention vector per head
     mask:  [N, M]    slot validity
+    mxu:   route the score/aggregation contractions through MXU dot_generals
+           (block-diagonal attention matmul) instead of VPU multiply+reduce
     Returns [N, H*F]; same math as ``flash_gat(x_src @ w_src + b_src, ...)``
     but the projected tensor is never materialized in HBM.
     """
@@ -257,24 +299,35 @@ def flash_gat_fused(x_src, w_src, b_src, er, attn, mask, n_heads,
     mask_f = mask.astype(x_src.dtype)
     grid = (np_ // tile_n, mp_ // tile_m)
 
+    in_specs = [
+        pl.BlockSpec((tile_n, tile_m, d), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, hf), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hf), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_n, hf), lambda i, j: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_heads, hf // n_heads), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_n, tile_m), lambda i, j: (i, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [x_src, w_src, b_src.reshape(1, hf), er, attn, mask_f]
+    if mxu:
+        # Block-diagonal attention: attn_blk[h*F+f, h] = attn[h, f].
+        f = hf // n_heads
+        attn_blk = (attn[:, :, None]
+                    * jnp.eye(n_heads, dtype=attn.dtype)[:, None, :])
+        operands.append(attn_blk.reshape(hf, n_heads))
+        in_specs.append(pl.BlockSpec((hf, n_heads), lambda i, j: (0, 0),
+                                     memory_space=pltpu.VMEM))
+
     out = pl.pallas_call(
         functools.partial(_flash_gat_fused_kernel, n_heads=n_heads,
-                          negative_slope=negative_slope),
+                          negative_slope=negative_slope, mxu=mxu),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((tile_n, tile_m, d), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, hf), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hf), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, hf), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_heads, hf // n_heads), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, tile_m), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((tile_n, hf), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -294,7 +347,7 @@ def flash_gat_fused(x_src, w_src, b_src, er, attn, mask, n_heads,
             pltpu.VMEM((tile_n, hf), jnp.float32),
         ],
         interpret=interpret,
-    )(x_src, w_src, b_src.reshape(1, hf), er, attn, mask_f)
+    )(*operands)
 
     out, mstat, lstat = out
     if return_stats:
