@@ -64,7 +64,9 @@ def synth_obs(rng, shape_prefix):
 def bench_tpu(n_timed=20):
     import jax
     import jax.numpy as jnp
-    from uav_bs_ctrl_tpu.algos.common import check_args_sanity
+    from uav_bs_ctrl_tpu.algos.common import (check_args_sanity,
+                                              enable_persistent_compilation_cache)
+    enable_persistent_compilation_cache()
     from uav_bs_ctrl_tpu.algos.madrqn.config import DEFAULT_CONFIG
     from uav_bs_ctrl_tpu.algos.madrqn.learner import MultiAgentQLearner
 

@@ -224,6 +224,9 @@ if __name__ == "__main__":
                         help="continue from the newest checkpoint in the run dir")
     cli = parser.parse_args()
 
+    from uav_bs_ctrl_tpu.algos.common import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
+
     if cli.exp == "exp1":
         overrides = dict(agent=cli.agent, compute_dtype=cli.compute_dtype)
         for k in ("epochs", "steps_per_epoch", "replay_size", "update_after", "device"):
