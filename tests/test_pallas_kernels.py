@@ -99,6 +99,44 @@ def test_gatv2_pallas_fused_backend_matches_dense():
                                atol=2e-4, rtol=1e-4)
 
 
+def test_flash_gat_fused_train_mxu_forward_and_grads():
+    """MXU-contraction forward variant: parity + shared backward correctness."""
+    from uav_bs_ctrl_tpu.ops.pallas_kernels import (flash_gat_fused_reference,
+                                                    flash_gat_fused_train)
+    rng = np.random.default_rng(7)
+    n, m, d, heads, f = 10, 200, 5, 4, 64
+    hf = heads * f
+    x = jnp.asarray(rng.normal(size=(n, m, d)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(d, hf)).astype(np.float32) / np.sqrt(d))
+    b = jnp.asarray(rng.normal(size=(hf,)).astype(np.float32))
+    er = jnp.asarray(rng.normal(size=(n, hf)).astype(np.float32))
+    attn = jnp.asarray(rng.normal(size=(heads, f)).astype(np.float32))
+    mask_b = jnp.asarray(rng.random((n, m)) > 0.4).at[1].set(False)
+    mask_f = mask_b.astype(np.float32)
+    cot = jnp.asarray(rng.normal(size=(n, hf)).astype(np.float32))
+
+    ref = flash_gat_fused_reference(x, w, b, er, attn, mask_b, heads)
+    out = flash_gat_fused_train(x, w, b, er, attn, mask_f, heads,
+                                0.2, 32, 128, True, True)  # interpret, mxu
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=1e-4)
+
+    def loss_dense(x_, w_, b_, er_, attn_):
+        o = flash_gat_fused_reference(x_, w_, b_, er_, attn_, mask_b, heads)
+        return jnp.sum(o * cot)
+
+    def loss_mxu(x_, w_, b_, er_, attn_):
+        o = flash_gat_fused_train(x_, w_, b_, er_, attn_, mask_f, heads,
+                                  0.2, 32, 128, True, True)
+        return jnp.sum(o * cot)
+
+    g_dense = jax.grad(loss_dense, argnums=(0, 1, 2, 3, 4))(x, w, b, er, attn)
+    g_mxu = jax.grad(loss_mxu, argnums=(0, 1, 2, 3, 4))(x, w, b, er, attn)
+    for gd, gp, name in zip(g_dense, g_mxu, ("x", "w", "b", "er", "attn")):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gd),
+                                   atol=5e-3, rtol=5e-4, err_msg=name)
+
+
 @pytest.mark.parametrize("n,m,d,heads,f", [
     (10, 200, 5, 4, 64),        # padding in N and M
     (8, 256, 6, 2, 128),        # multiple M tiles (stat carry into backward)

@@ -76,12 +76,15 @@ def gatv2(p, x_src, x_dst, mask, n_heads, negative_slope=0.2, activation=jax.nn.
         ft_flat = flash_gat(el2, er2, p["attn"], mask2, n_heads,
                             negative_slope=negative_slope)
         rst = ft_flat.reshape(batch_shape + (hf,))
-    elif backend == "pallas_fused":
+    elif backend in ("pallas_fused", "pallas_fused_mxu"):
         # Projection fused into the kernel: el ([.., M, H*F]) never hits HBM;
         # per-edge HBM reads shrink from H*F to d_src floats.  Differentiable
         # (custom VJP with a flash-style recompute backward) — usable inside
-        # the jitted training update, not just acting.
+        # the jitted training update, not just acting.  The '_mxu' variant
+        # routes the score/aggregation contractions through MXU dot_generals
+        # (hardware A/B: 15.06 ms vs XLA dense 19.86 ms at 4096x800x(4x64)).
         from uav_bs_ctrl_tpu.ops.pallas_kernels import flash_gat_fused_train
+        mxu = backend.endswith("_mxu")
         batch_shape = x_src.shape[:-2]
         m = x_src.shape[-2]
         d_src = x_src.shape[-1]
@@ -92,7 +95,8 @@ def gatv2(p, x_src, x_dst, mask, n_heads, negative_slope=0.2, activation=jax.nn.
         ft_flat = flash_gat_fused_train(x2, p["fc_src"]["w"], p["fc_src"]["b"],
                                         er2, p["attn"],
                                         mask2.astype(x_src.dtype), n_heads,
-                                        negative_slope)
+                                        negative_slope,
+                                        tile_n=32 if mxu else 8, mxu=mxu)
         rst = ft_flat.reshape(batch_shape + (hf,))
     else:
         el = linear(p["fc_src"], x_src)                   # [..., M, H*F]
