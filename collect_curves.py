@@ -31,6 +31,9 @@ def collect_curves(all_logdirs, xaxis, metric, output_dir):
                         index /= 1e6
                     exp_data = pd.DataFrame(exp_data[metric].to_numpy(), index=index,
                                             columns=identifier)
+                    # Resumed runs append to progress.txt; keep the last row
+                    # per x value so re-logged epochs don't break the concat.
+                    exp_data = exp_data[~exp_data.index.duplicated(keep='last')]
                     dataset.append(exp_data)
                 except Exception:
                     print('Could not read from %s' % root)
