@@ -111,6 +111,9 @@ def main():
     ap.add_argument("--backends", nargs="+", default=["dense", "pallas_fused"])
     cli = ap.parse_args()
 
+    from uav_bs_ctrl_tpu.algos.common import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
+
     results = {}
     for backend in cli.backends:
         results[backend] = run(backend, cli.agents, cli.gts, cli.agents - 1,
