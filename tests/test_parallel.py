@@ -132,3 +132,32 @@ def test_gatv2_graph_parallel_matches_dense():
     sharded = gatv2_graph_parallel(p, x_src, x_dst, mask, H, mesh)
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(dense),
                                atol=2e-5, rtol=1e-5)
+
+
+def test_dist_statistics_combine_matches_concat():
+    """Two simulated hosts' stat rows must reproduce np stats of the concat.
+
+    Guards the global-mean-residual semantics of the reference
+    (utils/mpi_tools.py:78-98): round-1 code accumulated residuals around each
+    host's LOCAL mean, which understates the variance whenever host means
+    differ.
+    """
+    from uav_bs_ctrl_tpu.parallel.dist import combine_host_stats, local_stat_row
+
+    rng = np.random.default_rng(42)
+    host_a = rng.normal(loc=0.0, scale=1.0, size=37)
+    host_b = rng.normal(loc=5.0, scale=2.0, size=61)  # very different mean
+    both = np.concatenate([host_a, host_b])
+
+    rows = np.asarray([local_stat_row(host_a), local_stat_row(host_b)])
+    mean, std, lo, hi = combine_host_stats(rows, with_min_and_max=True)
+
+    np.testing.assert_allclose(mean, both.mean(), rtol=1e-12)
+    np.testing.assert_allclose(std, both.std(), rtol=1e-9)
+    np.testing.assert_allclose(lo, both.min())
+    np.testing.assert_allclose(hi, both.max())
+
+    # The local-mean-residual bug would have produced a much smaller std.
+    local_resid = np.sum((host_a - host_a.mean()) ** 2) + np.sum((host_b - host_b.mean()) ** 2)
+    buggy_std = np.sqrt(local_resid / both.size)
+    assert std > buggy_std * 1.2

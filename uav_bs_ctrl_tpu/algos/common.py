@@ -39,24 +39,48 @@ def check_args_sanity(args):
         raise ValueError(f"compute_dtype must be 'float32' or 'bfloat16', "
                          f"got {compute_dtype!r}")
 
+    # gatv2() falls through to the dense path on an unrecognized string, so a
+    # typo'd backend would silently lose the custom kernel — fail loudly here.
+    gat_backend = getattr(args, "gat_backend", "dense")
+    if gat_backend not in ("dense", "pallas", "pallas_fused", "pallas_fused_mxu"):
+        raise ValueError(
+            f"gat_backend must be one of 'dense'|'pallas'|'pallas_fused'|"
+            f"'pallas_fused_mxu', got {gat_backend!r}")
+    if gat_backend == "pallas":
+        # flash_gat has no custom VJP; inside the differentiated update it
+        # would fail (or worse, appear to work via a fallback).  Training
+        # configs must use the fused kernels, which carry a flash-recompute
+        # backward.
+        raise ValueError(
+            "gat_backend='pallas' (unfused flash_gat) is inference/benchmark "
+            "only — it has no custom VJP.  Use 'pallas_fused' or "
+            "'pallas_fused_mxu' for training, or call "
+            "models.encoders.gatv2(..., backend='pallas') directly.")
+
     return args
 
 
-def enable_persistent_compilation_cache(path: str = "/root/.cache/jax_pcc"):
+def enable_persistent_compilation_cache(path: str = None):
     """Cache compiled XLA executables on disk across processes.
 
     On the tunneled TPU rig a cold compile of the fused training program costs
     10-20 minutes; the persistent cache makes repeat launches (resume, new
-    seeds of the same variant, bench re-runs) near-instant.  Safe no-op when
-    the backend does not support executable serialization.
+    seeds of the same variant, bench re-runs) near-instant.  Path resolution:
+    explicit arg > $JAX_COMPILATION_CACHE_DIR > ~/.cache/jax_pcc.  Failures
+    are logged (not swallowed) so cache misconfiguration stays visible.
     """
+    import os
+    import sys
     import jax
+    path = (path or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+            or os.path.expanduser("~/.cache/jax_pcc"))
     try:
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:
-        pass
+    except Exception as e:
+        print(f"warning: persistent compilation cache disabled ({e})",
+              file=sys.stderr)
 
 
 def set_rand_seed(seed: int):

@@ -18,9 +18,12 @@ DEFAULT_CONFIG = {
     'key_size': 16,
     'n_rounds': 1,
     'embed_dim': 32,       # QMixer embedding dim
-    # 'dense' (XLA) | 'pallas' (flash kernel, fwd-only use) | 'pallas_fused'
-    # (projection-fused flash kernel with custom-VJP backward — trainable,
-    # lowest HBM traffic at swarm scale)
+    # 'dense' (XLA masked softmax) | 'pallas_fused' (projection-fused flash
+    # kernel, custom-VJP backward, VPU contractions) | 'pallas_fused_mxu'
+    # (same, score/aggregation contractions on the MXU — 1.32x over XLA dense
+    # at swarm scale, see benchmarks/RESULTS.md).  'pallas' (unfused
+    # flash_gat) is inference/benchmark-only and rejected by
+    # check_args_sanity for training configs.  Unknown values raise.
     'gat_backend': 'dense',
     'compute_dtype': 'float32',  # 'bfloat16' -> mixed-precision net compute (MXU-native)
 

@@ -83,7 +83,7 @@ def gatv2(p, x_src, x_dst, mask, n_heads, negative_slope=0.2, activation=jax.nn.
         # the jitted training update, not just acting.  The '_mxu' variant
         # routes the score/aggregation contractions through MXU dot_generals
         # (hardware A/B: 15.06 ms vs XLA dense 19.86 ms at 4096x800x(4x64)).
-        from uav_bs_ctrl_tpu.ops.pallas_kernels import flash_gat_fused_train
+        from uav_bs_ctrl_tpu.ops.pallas_kernels import GAT_TILE_N, flash_gat_fused_train
         mxu = backend.endswith("_mxu")
         batch_shape = x_src.shape[:-2]
         m = x_src.shape[-2]
@@ -96,7 +96,7 @@ def gatv2(p, x_src, x_dst, mask, n_heads, negative_slope=0.2, activation=jax.nn.
                                         er2, p["attn"],
                                         mask2.astype(x_src.dtype), n_heads,
                                         negative_slope,
-                                        tile_n=32 if mxu else 8, mxu=mxu)
+                                        tile_n=GAT_TILE_N[backend], mxu=mxu)
         rst = ft_flat.reshape(batch_shape + (hf,))
     else:
         el = linear(p["fc_src"], x_src)                   # [..., M, H*F]

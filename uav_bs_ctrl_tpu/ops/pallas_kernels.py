@@ -28,6 +28,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG_BIG = -1e30
 
+# Hardware-tuned row-tile sizes per gat_backend (single place to re-tune —
+# e.g. for a bf16 variant).  The MXU variant amortizes its block-diagonal
+# matmuls over larger row tiles (hardware A/B, benchmarks/RESULTS.md:
+# tile_n 8/16/32 -> 16.59/15.56/15.06 ms at 4096x800x(4x64) f32); the VPU
+# variant's multiply+reduce contractions see no benefit past 8.
+GAT_TILE_N = {"pallas_fused": 8, "pallas_fused_mxu": 32}
+
 
 def _flash_gat_kernel(el_ref, er_ref, attn_ref, mask_ref, out_ref,
                       m_scr, l_scr, acc_scr, *, n_heads, negative_slope):

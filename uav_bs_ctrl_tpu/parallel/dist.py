@@ -64,17 +64,30 @@ def dist_statistics_scalar(x, with_min_and_max=False):
         return mean, std
 
     from jax.experimental.multihost_utils import process_allgather
-    gathered = process_allgather(jnp.asarray([x.sum(), float(x.size),
-                                              np.sum((x - (x.mean() if x.size else 0)) ** 2),
-                                              x.min() if x.size else np.inf,
-                                              x.max() if x.size else -np.inf]))
-    sums = np.asarray(gathered)
+    gathered = process_allgather(jnp.asarray(local_stat_row(x)))
+    return combine_host_stats(np.asarray(gathered), with_min_and_max)
+
+
+def local_stat_row(x):
+    """This host's contribution to the cross-host statistics allgather."""
+    x = np.asarray(x, dtype=np.float64)
+    return [x.sum(), float(x.size), np.sum(x ** 2),
+            x.min() if x.size else np.inf, x.max() if x.size else -np.inf]
+
+
+def combine_host_stats(sums, with_min_and_max=False):
+    """Combine allgathered per-host rows ``[sum, n, sum_sq, min, max]``.
+
+    The reference computes residuals around the GLOBAL mean
+    (``utils/mpi_tools.py:88-91``: allreduce the mean first, then allreduce
+    ``sum((x - global_mean)**2)``).  ``E[(x-mu)^2] = E[x^2] - mu^2`` yields the
+    exact same quantity from raw second moments in a single collective.
+    """
+    sums = np.asarray(sums, dtype=np.float64)
     global_sum, global_n = sums[:, 0].sum(), sums[:, 1].sum()
     mean = global_sum / max(global_n, 1)
-    # Recompute the global second moment around the global mean from raw data
-    # is not possible host-locally; use the law of total variance approximation
-    # consistent with the reference (which also uses local-mean residuals).
-    std = np.sqrt(sums[:, 2].sum() / max(global_n, 1))
+    var = max(sums[:, 2].sum() / max(global_n, 1) - mean ** 2, 0.0)
+    std = np.sqrt(var)
     if with_min_and_max:
         return mean, std, sums[:, 3].min(), sums[:, 4].max()
     return mean, std
