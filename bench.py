@@ -125,11 +125,23 @@ def bench_tpu(n_timed=20):
     return edges_per_s
 
 
-def bench_torch_cpu(n_timed=2):
-    """Same training step in torch on CPU (reference-class stack stand-in)."""
+def bench_torch_cpu(n_timed=3):
+    """Same training step in torch on CPU (reference-class stack stand-in).
+
+    Reproducibility (the denominator of ``vs_baseline`` collapsed under host
+    contention in round 1): threads are PINNED (BENCH_TORCH_THREADS, default
+    all cores), torch version and 1-min load average are logged, and the
+    number is only comparable across runs on a quiet host — see BASELINE.md
+    for the recorded methodology.
+    """
+    import os
     import torch
     import torch.nn.functional as F
 
+    n_threads = int(os.environ.get("BENCH_TORCH_THREADS", os.cpu_count()))
+    torch.set_num_threads(n_threads)
+    log(f"torch-CPU baseline: torch {torch.__version__}, {n_threads} threads "
+        f"(pinned), load avg {os.getloadavg()[0]:.2f}")
     torch.manual_seed(0)
     Fh = HID // HEADS
 

@@ -172,28 +172,48 @@ def test_flash_gat_fused_train_grads_match_dense(n, m, d, heads, f):
                                    atol=5e-3, rtol=5e-4, err_msg=name)
 
 
-def test_csr_segment_sum_matches_xla():
-    from uav_bs_ctrl_tpu.ops.pallas_kernels import csr_segment_sum
-    from uav_bs_ctrl_tpu.ops import segment
+@pytest.mark.parametrize("mxu", [False, True])
+def test_flash_gat_fused_train_bf16_parity(mxu):
+    """bf16 inputs through the fused kernel: fwd + grads track the f32 dense
+    twin at bf16-rounding tolerances (the kernel accumulates in f32 VMEM
+    scratch, so errors come only from bf16 I/O rounding, not the reduction)."""
+    from uav_bs_ctrl_tpu.ops.pallas_kernels import (flash_gat_fused_reference,
+                                                    flash_gat_fused_train)
+    rng = np.random.default_rng(3)
+    n, m, d, heads, f = 12, 96, 6, 4, 32
+    hf = heads * f
+    x = rng.normal(size=(n, m, d)).astype(np.float32)
+    w = (rng.normal(size=(d, hf)) / np.sqrt(d)).astype(np.float32)
+    b = (0.1 * rng.normal(size=hf)).astype(np.float32)
+    er = rng.normal(size=(n, hf)).astype(np.float32)
+    attn = (0.5 * rng.normal(size=(heads, f))).astype(np.float32)
+    mask_b = jnp.asarray(rng.random((n, m)) > 0.4).at[2].set(False)
+    cot = rng.normal(size=(n, hf)).astype(np.float32)
 
-    rng = np.random.default_rng(0)
-    n_dst = 6
-    degrees = rng.integers(0, 200, size=n_dst)   # includes possible zeros
-    offsets = np.concatenate([[0], np.cumsum(degrees)]).astype(np.int32)
-    e_used = int(offsets[-1])
-    e_pad = e_used + 37                          # trailing padding rows
-    values = rng.normal(size=(e_pad, 128)).astype(np.float32)
+    a16 = [jnp.asarray(v, jnp.bfloat16) for v in (x, w, b, er, attn)]
+    mask16 = mask_b.astype(jnp.bfloat16)
 
-    out = csr_segment_sum(jnp.asarray(values), jnp.asarray(offsets), n_dst,
-                          interpret=True)
+    ref = flash_gat_fused_reference(jnp.asarray(x), jnp.asarray(w),
+                                    jnp.asarray(b), jnp.asarray(er),
+                                    jnp.asarray(attn), mask_b, heads)
+    out = flash_gat_fused_train(*a16, mask16, heads, 0.2, 8, 128, True, mxu)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
+                               atol=3e-2, rtol=2e-2)
 
-    dst_idx = np.zeros(e_pad, np.int32)
-    mask = np.zeros(e_pad, bool)
-    for i in range(n_dst):
-        dst_idx[offsets[i]:offsets[i + 1]] = i
-        mask[offsets[i]:offsets[i + 1]] = True
-    expect = segment.segment_sum(jnp.asarray(values), jnp.asarray(dst_idx),
-                                 jnp.asarray(mask), n_dst)
-    # Sums over up-to-200 f32 values: allow reduction-order roundoff.
-    np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
-                               atol=1e-3, rtol=1e-4)
+    def loss16(x_, w_):
+        o = flash_gat_fused_train(x_, w_, a16[2], a16[3], a16[4], mask16,
+                                  heads, 0.2, 8, 128, True, mxu)
+        return jnp.sum(o.astype(jnp.float32) * cot)
+
+    def loss32(x_, w_):
+        o = flash_gat_fused_reference(x_, w_, jnp.asarray(b), jnp.asarray(er),
+                                      jnp.asarray(attn), mask_b, heads)
+        return jnp.sum(o * cot)
+
+    g16 = jax.grad(loss16, argnums=(0, 1))(a16[0], a16[1])
+    g32 = jax.grad(loss32, argnums=(0, 1))(jnp.asarray(x), jnp.asarray(w))
+    for gp, gd, name in zip(g16, g32, ("x", "w")):
+        scale = np.max(np.abs(np.asarray(gd))) + 1e-6
+        rel = np.max(np.abs(np.asarray(gp, np.float32) - np.asarray(gd))) / scale
+        assert rel < 0.08, f"grad {name} rel err {rel:.3f} (mxu={mxu})"

@@ -161,3 +161,82 @@ def test_dist_statistics_combine_matches_concat():
     local_resid = np.sum((host_a - host_a.mean()) ** 2) + np.sum((host_b - host_b.mean()) ** 2)
     buggy_std = np.sqrt(local_resid / both.size)
     assert std > buggy_std * 1.2
+
+
+def test_graph_parallel_training_step_matches_dense():
+    """FULL training step with the GT-slot axis edge-partitioned over 'gp'.
+
+    A learner configured with gat_backend='graph_parallel' and distributed
+    over a ('dp','mp','gp')=(1,1,8) mesh must reproduce the unsharded dense
+    learner's update (loss + params) on the same batch — the shard_map path
+    (parallel/graph_parallel.py) runs INSIDE the differentiated scan-BPTT
+    update, not just in a standalone forward.
+    """
+    import jax.numpy as jnp
+    from uav_bs_ctrl_tpu.parallel.graph_parallel import set_graph_parallel_mesh
+
+    A, M, K = 4, 64, 3              # M divisible by gp=8
+    nf_gt, nf_ubs = 5, 3
+    T = 3
+    env_info = dict(obs_shape=dict(agent=2, gt=nf_gt - 1, ubs=nf_ubs - 1),
+                    state_shape=A * 2 + M * 4, n_actions=5, n_agents=A,
+                    episode_limit=T)
+
+    def fill(learner, rng):
+        for _ in range(learner.batch_size):
+            for t in range(T):
+                def obs():
+                    return {
+                        "agent": rng.normal(size=(A, 2)).astype(np.float32),
+                        "gt": np.concatenate(
+                            [(rng.random((A, M, 1)) > 0.4).astype(np.float32),
+                             rng.normal(size=(A, M, nf_gt - 1)).astype(np.float32)], -1),
+                        "ubs": np.concatenate(
+                            [(rng.random((A, K, 1)) > 0.4).astype(np.float32),
+                             rng.normal(size=(A, K, nf_ubs - 1)).astype(np.float32)], -1),
+                        "adj": np.ones((A, A), dtype=bool),
+                    }
+                learner.cache(
+                    obs=obs(), h=rng.normal(size=(A, 32)).astype(np.float32),
+                    state=rng.normal(size=(env_info["state_shape"],)).astype(np.float32),
+                    act=rng.integers(5, size=A), rew=rng.normal(size=A).astype(np.float32),
+                    next_obs=obs(), next_h=rng.normal(size=(A, 32)).astype(np.float32),
+                    next_state=rng.normal(size=(env_info["state_shape"],)).astype(np.float32),
+                    done=float(t == T - 1), bad_mask=float(t == T - 1))
+
+    def build(backend):
+        args = _args(o="gnn", c="tarmac", double_q=True, gat_backend=backend)
+        args.max_seq_len = T
+        learner = MultiAgentQLearner(env_info, args, seed=5)
+        fill(learner, np.random.default_rng(0))
+        return learner
+
+    import jax.random
+    key = jax.random.PRNGKey(9)
+
+    def run(learner):
+        batch = learner.buffer.sample(learner.batch_size,
+                                      rng=np.random.default_rng(2))
+        dev_batch = learner._batch_to_device(batch)
+        params, targets, opt_state, metrics = learner._update_jit(
+            jax.tree_util.tree_map(jnp.asarray, learner.params),
+            jax.tree_util.tree_map(jnp.asarray, learner.target_params),
+            learner.opt_state, dev_batch, key, jnp.float32(1.0))
+        return float(metrics["LossQ"]), params
+
+    loss_dense, params_dense = run(build("dense"))
+
+    mesh = make_mesh(8, mp=1, gp=8)
+    try:
+        learner_gp = build("graph_parallel")
+        distribute_learner(learner_gp, mesh, graph_parallel=True)
+        with mesh:
+            loss_gp, params_gp = run(learner_gp)
+    finally:
+        set_graph_parallel_mesh(None)
+
+    np.testing.assert_allclose(loss_gp, loss_dense, rtol=1e-5)
+    for xa, xb in zip(jax.tree_util.tree_leaves(params_dense),
+                      jax.tree_util.tree_leaves(params_gp)):
+        np.testing.assert_allclose(np.asarray(xb), np.asarray(xa),
+                                   atol=5e-5, rtol=1e-3)

@@ -42,10 +42,11 @@ def check_args_sanity(args):
     # gatv2() falls through to the dense path on an unrecognized string, so a
     # typo'd backend would silently lose the custom kernel — fail loudly here.
     gat_backend = getattr(args, "gat_backend", "dense")
-    if gat_backend not in ("dense", "pallas", "pallas_fused", "pallas_fused_mxu"):
+    if gat_backend not in ("dense", "pallas", "pallas_fused",
+                           "pallas_fused_mxu", "graph_parallel"):
         raise ValueError(
             f"gat_backend must be one of 'dense'|'pallas'|'pallas_fused'|"
-            f"'pallas_fused_mxu', got {gat_backend!r}")
+            f"'pallas_fused_mxu'|'graph_parallel', got {gat_backend!r}")
     if gat_backend == "pallas":
         # flash_gat has no custom VJP; inside the differentiated update it
         # would fail (or worse, appear to work via a fallback).  Training

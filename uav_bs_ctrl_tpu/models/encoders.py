@@ -76,6 +76,21 @@ def gatv2(p, x_src, x_dst, mask, n_heads, negative_slope=0.2, activation=jax.nn.
         ft_flat = flash_gat(el2, er2, p["attn"], mask2, n_heads,
                             negative_slope=negative_slope)
         rst = ft_flat.reshape(batch_shape + (hf,))
+    elif backend == "graph_parallel":
+        # Edge-partitioned aggregation: the source-slot (GT-slot) axis is
+        # sharded over the registered mesh axis; per-destination exchange is
+        # two O(H)-scalar psums + one O(H*F) psum (see parallel/graph_parallel).
+        # Falls back to dense when no mesh is registered or the slot count
+        # does not divide the axis (e.g. the tiny 'near' relation).
+        from uav_bs_ctrl_tpu.parallel.graph_parallel import (
+            get_graph_parallel_mesh, gatv2_graph_parallel)
+        mesh, axis = get_graph_parallel_mesh()
+        if mesh is not None and x_src.shape[-2] % mesh.shape[axis] == 0:
+            return gatv2_graph_parallel(p, x_src, x_dst, mask, n_heads, mesh,
+                                        axis=axis, negative_slope=negative_slope,
+                                        activation=activation)
+        return gatv2(p, x_src, x_dst, mask, n_heads, negative_slope,
+                     activation, backend="dense")
     elif backend in ("pallas_fused", "pallas_fused_mxu"):
         # Projection fused into the kernel: el ([.., M, H*F]) never hits HBM;
         # per-edge HBM reads shrink from H*F to d_src floats.  Differentiable

@@ -587,72 +587,3 @@ def flash_gat_reference(el, er, attn, mask, n_heads, negative_slope=0.2):
     denom = jnp.maximum(jnp.sum(p, axis=1), 1e-30)
     ft = jnp.einsum("nmh,nmhf->nhf", p, el.reshape(n, m, n_heads, f)) / denom[:, :, None]
     return ft.reshape(n, hf)
-
-
-# --------------------------------------------------------------------------- #
-# Padded-CSR segment-reduce SpMM
-
-
-def _csr_segment_sum_kernel(offsets_ref, values_ref, out_ref, *, edge_block):
-    """Per-destination sum over a CSR edge run.
-
-    Grid is (N,); ``offsets_ref`` is scalar-prefetched so each program knows
-    its [start, end) run before the body executes.  Edge runs are consumed in
-    fixed ``edge_block`` strides with an index mask (variable degrees under
-    static shapes).
-    """
-    i = pl.program_id(0)
-    start = offsets_ref[i]
-    end = offsets_ref[i + 1]
-
-    eb = edge_block
-    d = values_ref.shape[1]
-    n_blocks = pl.cdiv(values_ref.shape[0], eb)
-
-    def body(b, acc):
-        base = b * eb
-        blk = values_ref[pl.ds(base, eb), :]                     # [EB, D]
-        idx = base + jax.lax.broadcasted_iota(jnp.int32, (eb, 1), 0)
-        valid = (idx >= start) & (idx < end)
-        return acc + jnp.sum(jnp.where(valid, blk, 0.0), axis=0)
-
-    # Only iterate blocks that can intersect [start, end).
-    first = start // eb
-    last = pl.cdiv(end, eb)
-
-    def guarded(b, acc):
-        return jax.lax.cond((b >= first) & (b < last),
-                            lambda a: body(b, a), lambda a: a, acc)
-
-    acc = jax.lax.fori_loop(0, n_blocks, guarded, jnp.zeros((d,), jnp.float32))
-    out_ref[0, :] = acc
-
-
-def csr_segment_sum(values, row_offsets, num_dst, edge_block=128, interpret=False):
-    """Pallas padded-CSR segment-sum: out[i] = sum of values rows in run i.
-
-    values:      [E, D] edge values sorted by destination (padding rows are
-                 simply not covered by any run).
-    row_offsets: [N+1] int32 CSR offsets into ``values``.
-    Returns [N, D].  VMEM-resident values (E*D*4 bytes should fit in ~8 MB);
-    larger graphs should shard destinations first (see parallel.graph_parallel).
-    """
-    e, d = values.shape
-    # Pad E to a block multiple: pl.ds clamps out-of-range slices, which would
-    # misattribute rows of the final partial block.
-    pad_e = (-e) % edge_block
-    if pad_e:
-        values = jnp.pad(values, ((0, pad_e), (0, 0)))
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(num_dst,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, d), lambda i, *_: (i, 0),
-                               memory_space=pltpu.VMEM),
-    )
-    return pl.pallas_call(
-        functools.partial(_csr_segment_sum_kernel, edge_block=edge_block),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_dst, d), jnp.float32),
-        interpret=interpret,
-    )(row_offsets.astype(jnp.int32), values.astype(jnp.float32))

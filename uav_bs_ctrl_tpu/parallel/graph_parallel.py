@@ -18,19 +18,43 @@ local.
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map  # jax >= 0.8
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 from uav_bs_ctrl_tpu.models.modules import linear
 
 _NEG_BIG = -1e30
+
+# Training-step wiring: ``models.encoders.gatv2(backend='graph_parallel')``
+# fetches the registered (mesh, axis) here at trace time, so a learner can be
+# switched onto the edge-partitioned path by a config flag + one registration
+# call (see ``distribute_learner(..., graph_parallel=True)``).
+_GP_MESH = None
+_GP_AXIS = "gp"
+
+
+def set_graph_parallel_mesh(mesh, axis="gp"):
+    """Register the mesh/axis used by ``gat_backend='graph_parallel'``."""
+    global _GP_MESH, _GP_AXIS
+    _GP_MESH = mesh
+    _GP_AXIS = axis
+
+
+def get_graph_parallel_mesh():
+    return _GP_MESH, _GP_AXIS
 
 
 def gatv2_graph_parallel(p, x_src, x_dst, mask, n_heads, mesh: Mesh, axis="gp",
                          negative_slope=0.2, activation=jax.nn.relu):
     """Masked bipartite GATv2 with the source-slot axis sharded over ``axis``.
 
-    x_src: [N, M, d_src] (M sharded over ``axis``), x_dst: [N, d_dst],
-    mask: [N, M] -> out [N, H*F].
+    x_src: [..., M, d_src] (M sharded over ``axis``), x_dst: [..., d_dst],
+    mask: [..., M] -> out [..., H*F].  Leading batch dims are flattened for
+    the shard_map region and restored after.  Differentiable: the max-shift
+    is stop_gradient'ed (exact — the shift cancels in the softmax), so the
+    backward needs only the transposes of the two psums (all-gathers).
     """
     feats = p["fc_src"]["w"].shape[1] // n_heads
     hf = n_heads * feats
@@ -45,7 +69,10 @@ def gatv2_graph_parallel(p, x_src, x_dst, mask, n_heads, mesh: Mesh, axis="gp",
         scores = jnp.where(mask_blk[..., None], scores, _NEG_BIG)
 
         local_max = jnp.max(scores, axis=1)                       # [N, H]
-        global_max = jax.lax.pmax(local_max, axis)
+        # pmax has no AD rule; all_gather+max is differentiable (and the
+        # shift is stop_gradient'ed anyway — it cancels exactly in softmax).
+        global_max = jnp.max(jax.lax.all_gather(
+            jax.lax.stop_gradient(local_max), axis), axis=0)
         shift = jnp.where(global_max <= _NEG_BIG / 2, 0.0, global_max)
 
         w = jnp.where(mask_blk[..., None], jnp.exp(scores - shift[:, None, :]), 0.0)
@@ -54,14 +81,21 @@ def gatv2_graph_parallel(p, x_src, x_dst, mask, n_heads, mesh: Mesh, axis="gp",
         out = acc / jnp.maximum(denom, 1e-30)[..., None]
         return out.reshape(n, hf)
 
-    el = linear(p["fc_src"], x_src)                               # [N, M, H*F]
-    er = linear(p["fc_dst"], x_dst)                               # [N, H*F]
+    el = linear(p["fc_src"], x_src)                               # [..., M, H*F]
+    er = linear(p["fc_dst"], x_dst)                               # [..., H*F]
+
+    batch_shape = x_src.shape[:-2]
+    m = x_src.shape[-2]
+    el2 = el.reshape((-1, m, hf))
+    er2 = er.reshape((-1, hf))
+    mask2 = jnp.broadcast_to(mask, batch_shape + (m,)).reshape((-1, m))
 
     ft = shard_map(
         local_block, mesh=mesh,
         in_specs=(P(None, axis, None), P(None, None), P(None, axis)),
         out_specs=P(None, None),
-    )(el, er, mask)
+    )(el2, er2, mask2)
+    ft = ft.reshape(batch_shape + (hf,))
 
     rst = ft + (linear(p["res_fc"], x_dst) if "res_fc" in p else x_dst)
     return activation(rst) if activation is not None else rst

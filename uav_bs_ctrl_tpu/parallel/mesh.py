@@ -19,11 +19,19 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices=None, mp=1, devices=None) -> Mesh:
-    """Build a ('dp', 'mp') mesh over the first ``n_devices`` devices."""
+def make_mesh(n_devices=None, mp=1, gp=1, devices=None) -> Mesh:
+    """Build a ('dp', 'mp'[, 'gp']) mesh over the first ``n_devices`` devices.
+
+    'gp' is the graph-parallel axis (GT-slot/edge partitioning, see
+    ``parallel.graph_parallel``); it is only materialized when ``gp > 1`` so
+    existing two-axis call sites are unchanged.
+    """
     devices = devices if devices is not None else jax.devices()
     n = n_devices or len(devices)
-    assert n % mp == 0, f"n_devices={n} not divisible by mp={mp}"
+    assert n % (mp * gp) == 0, f"n_devices={n} not divisible by mp*gp={mp * gp}"
+    if gp > 1:
+        grid = np.asarray(devices[:n]).reshape(n // (mp * gp), mp, gp)
+        return Mesh(grid, ("dp", "mp", "gp"))
     grid = np.asarray(devices[:n]).reshape(n // mp, mp)
     return Mesh(grid, ("dp", "mp"))
 
@@ -56,15 +64,25 @@ def _named(tree_spec, mesh):
                                   is_leaf=lambda x: isinstance(x, P))
 
 
-def distribute_learner(learner, mesh: Mesh):
+def distribute_learner(learner, mesh: Mesh, graph_parallel=False):
     """Re-jit a :class:`RecurrentQLearner`'s update over ``mesh``.
 
     Parameters/optimizer state are placed with the 'mp' rule; each sampled
     batch is placed with the 'dp' rule before the jitted update runs.  The
     learner's ``batch_size`` must divide by the dp size.
+
+    ``graph_parallel=True`` additionally registers the mesh's 'gp' axis so
+    that encoders built with ``gat_backend='graph_parallel'`` route their
+    GT-slot aggregation through the edge-partitioned shard_map path
+    (``parallel.graph_parallel.gatv2_graph_parallel``) inside this update.
     """
     assert learner.batch_size % mesh.shape["dp"] == 0, \
         f"batch_size={learner.batch_size} must divide dp={mesh.shape['dp']}"
+    if graph_parallel:
+        assert "gp" in mesh.shape and mesh.shape["gp"] > 1, \
+            "graph_parallel=True needs a mesh with a 'gp' axis (make_mesh(gp=...))"
+        from uav_bs_ctrl_tpu.parallel.graph_parallel import set_graph_parallel_mesh
+        set_graph_parallel_mesh(mesh, "gp")
 
     param_shardings = _named(shard_params_spec(learner.params, mesh), mesh)
     target_shardings = _named(shard_params_spec(learner.target_params, mesh), mesh)
