@@ -33,7 +33,12 @@ def collect_curves(all_logdirs, xaxis, metric, output_dir):
                                             columns=identifier)
                     # Resumed runs append to progress.txt; keep the last row
                     # per x value so re-logged epochs don't break the concat.
+                    # Assumes re-logged epochs appear after the originals and
+                    # hit the same x values exactly — true for epoch-boundary
+                    # resumes (run_fast restores t from the checkpoint stamp);
+                    # sort by index afterwards in case a resume interleaves.
                     exp_data = exp_data[~exp_data.index.duplicated(keep='last')]
+                    exp_data = exp_data.sort_index()
                     dataset.append(exp_data)
                 except Exception:
                     print('Could not read from %s' % root)
