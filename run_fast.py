@@ -132,18 +132,18 @@ def train_fast_exp1(env_kwargs, seed=0, train_overrides=None, logger_kwargs=None
 
 
 def train_fast(exp, map_id, seed=0, train_overrides=None, logger_kwargs=None,
-               n_worlds=40, n_layouts=256, resume=False):
+               n_worlds=40, n_layouts=256, resume=False, interleave=1):
     kw = dict(EXP_PRESETS[exp])
     kw.update(train_overrides or {})
 
     logger = EpochLogger(append=resume, **(logger_kwargs or {}))
     logger.save_config(dict(exp=exp, map_id=map_id, seed=seed,
-                            n_worlds=n_worlds, args=kw))
+                            n_worlds=n_worlds, interleave=interleave, args=kw))
 
     capacity = kw["replay_size"] - kw["replay_size"] % n_worlds
     trainer = FusedMadrqnTrainer(map_id, train_kwargs=kw, n_worlds=n_worlds,
                                  capacity_chunks=capacity, n_layouts=n_layouts,
-                                 seed=seed)
+                                 seed=seed, interleave=interleave)
     args, T = trainer.args, trainer.T
     learner = trainer.learner
 
@@ -217,6 +217,9 @@ if __name__ == "__main__":
     parser.add_argument("--update-after", type=int, default=None)
     parser.add_argument("--device", default=None, help="'cpu' forces the host backend")
     parser.add_argument("--n-worlds", type=int, default=40)
+    parser.add_argument("--interleave", type=int, default=1,
+                        help="sub-iterations per fused iteration (collect "
+                             "n_worlds/S episodes -> updates/S, x S)")
     parser.add_argument("--n-layouts", type=int, default=256)
     parser.add_argument("--compute-dtype", default="float32")
     parser.add_argument("--data-dir", default=None)
@@ -250,7 +253,10 @@ if __name__ == "__main__":
             overrides[k] = v
 
     name = f"{cli.exp}_fast_{map_id}_{c or 'iql'}" + ("_qmix" if cli.mixer else "")
+    if cli.interleave > 1:
+        name += f"_il{cli.interleave}"
     logger_kwargs = setup_logger_kwargs(name, cli.seed, data_dir=cli.data_dir)
     train_fast(cli.exp, map_id, seed=cli.seed, train_overrides=overrides,
                logger_kwargs=logger_kwargs, n_worlds=cli.n_worlds,
-               n_layouts=cli.n_layouts, resume=cli.resume)
+               n_layouts=cli.n_layouts, resume=cli.resume,
+               interleave=cli.interleave)

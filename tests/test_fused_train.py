@@ -67,3 +67,38 @@ def test_fused_ring_wraparound():
         trainer.run_iteration(eps=1.0, warmup=True)
     assert trainer._size == 8          # capped at capacity
     assert trainer._ptr == 0           # wrapped twice
+
+
+def test_fused_interleaved_iteration_matches_semantics():
+    """interleave=S: one program = S x [collect n/S -> K/S updates]; the ring
+    advances by n_worlds total and every freshly-collected chunk lands in it."""
+    import jax
+
+    def build(interleave):
+        return FusedMadrqnTrainer(
+            "debug",
+            train_kwargs=dict(device="cpu", hidden_size=16, msg_size=8,
+                              batch_size=4, decay_steps=100, o="mlp", c=None),
+            n_worlds=4, capacity_chunks=16, updates_per_iter=4, n_layouts=4,
+            seed=0, interleave=interleave)
+
+    tr = build(interleave=4)
+    stats = tr.run_iteration(eps=1.0, warmup=True)
+    assert tr._size == 4 and tr._ptr == 4
+    p0 = jax.tree_util.tree_map(np.asarray, tr.learner.params)
+    m = tr.run_iteration(eps=0.5)
+    assert np.isfinite(m["LossQ"]) and np.isfinite(m["EpRet"])
+    assert tr._size == 8 and tr._ptr == 8
+    # All 4 sub-chunks actually wrote rows 4..8 of the ring (non-zero rewards
+    # region may legitimately be zero; check the obs, which are never all-zero).
+    row_norms = np.asarray(jax.tree_util.tree_leaves(tr.replay)[0])
+    written = row_norms[4:8]
+    assert np.abs(written).sum() > 0
+    changed = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        p0, tr.learner.params)
+    assert max(jax.tree_util.tree_leaves(changed)) > 0
+
+    # interleave must divide the per-iteration work
+    with pytest.raises(AssertionError):
+        build(interleave=3)

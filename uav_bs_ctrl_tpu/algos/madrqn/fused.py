@@ -40,7 +40,7 @@ class FusedMadrqnTrainer:
 
     def __init__(self, map_id, train_kwargs=None, n_worlds=16, capacity_chunks=256,
                  updates_per_iter=None, n_layouts=64, seed=0, fair_service=True,
-                 avoid_collision=True):
+                 avoid_collision=True, interleave=1):
         cfg = dict(DEFAULT_CONFIG)
         cfg.update(train_kwargs or {})
         self.args = args = check_args_sanity(SN(**cfg))
@@ -55,6 +55,16 @@ class FusedMadrqnTrainer:
         self.n_worlds = n_worlds
         self.capacity = capacity_chunks
         self.updates_per_iter = updates_per_iter or n_worlds
+        # Policy-iteration granularity: one fused program still collects
+        # n_worlds episodes and runs updates_per_iter updates, but as
+        # ``interleave`` sub-iterations of [collect n_worlds/S episodes ->
+        # K/S updates].  The reference's host loop interleaves at 1-episode
+        # grain (collect 1 -> update 1); large monolithic iterations cycle
+        # the policy-improvement loop S x more coarsely, which measurably
+        # delays exp3 learning takeoff.
+        assert n_worlds % interleave == 0 and self.updates_per_iter % interleave == 0, \
+            "interleave must divide n_worlds and updates_per_iter"
+        self.interleave = interleave
 
         nf_gt = 4 + (1 if fair_service else 0)
         if args.o == "gnn":
@@ -99,10 +109,11 @@ class FusedMadrqnTrainer:
             obs = {"agent": flat, "adj": obs["adj"]}
         return self.learner._apply_net(net, obs, h, k)
 
-    def _collect(self, params, key, eps):
+    def _collect(self, params, key, eps, n_worlds=None):
+        n_worlds = n_worlds or self.n_worlds
         k_reset, k_chunk = jax.random.split(key)
-        states = collect.reset_worlds(self.env_params, self.pool, k_reset, self.n_worlds)
-        h0 = jnp.zeros((self.n_worlds, self.env_params.n_ubs, self.args.hidden_size))
+        states = collect.reset_worlds(self.env_params, self.pool, k_reset, n_worlds)
+        h0 = jnp.zeros((n_worlds, self.env_params.n_ubs, self.args.hidden_size))
         chunk, _, stats = collect.collect_chunk(
             self.env_params, self._agent_apply, params, states, h0, self.T,
             k_chunk, eps)
@@ -118,29 +129,46 @@ class FusedMadrqnTrainer:
 
     def _iteration(self, params, target_params, opt_state, replay, key, eps,
                    lr_scale, ptr, size):
-        """One fused program: collect -> ring write -> K sampled updates."""
-        key, k_col = jax.random.split(key)
-        chunk, stats = self._collect(params, k_col, eps)
+        """One fused program: S x [collect -> ring write -> K/S updates].
 
-        replay = jax.tree_util.tree_map(
-            lambda store, x: jax.lax.dynamic_update_slice_in_dim(store, x, ptr, 0),
-            replay, chunk)
-        size = jnp.minimum(size + self.n_worlds, self.capacity)
-
+        ``interleave=1`` reproduces the original monolithic iteration; larger
+        S tightens the collect/update feedback loop toward the reference's
+        1-episode grain while keeping everything in a single XLA program.
+        """
         B = self.learner.batch_size
+        S = self.interleave
+        sub_worlds = self.n_worlds // S
+        k_sub = self.updates_per_iter // S
 
-        def one_update(carry, _):
-            params, target_params, opt_state, key = carry
-            key, k_idx, k_upd = jax.random.split(key, 3)
-            idx = jax.random.randint(k_idx, (B,), 0, size)
-            batch = jax.tree_util.tree_map(lambda store: store[idx], replay)
-            params, target_params, opt_state, metrics = self.learner._update_fn(
-                params, target_params, opt_state, batch, k_upd, lr_scale)
-            return (params, target_params, opt_state, key), metrics["LossQ"]
+        def sub_iter(carry, _):
+            params, target_params, opt_state, replay, key, ptr, size = carry
+            key, k_col = jax.random.split(key)
+            chunk, stats = self._collect(params, k_col, eps, n_worlds=sub_worlds)
 
-        (params, target_params, opt_state, _), losses = jax.lax.scan(
-            one_update, (params, target_params, opt_state, key), None,
-            length=self.updates_per_iter)
+            replay = jax.tree_util.tree_map(
+                lambda store, x: jax.lax.dynamic_update_slice_in_dim(
+                    store, x, ptr, 0), replay, chunk)
+            size = jnp.minimum(size + sub_worlds, self.capacity)
+            ptr = (ptr + sub_worlds) % self.capacity
+
+            def one_update(carry, _):
+                params, target_params, opt_state, key = carry
+                key, k_idx, k_upd = jax.random.split(key, 3)
+                idx = jax.random.randint(k_idx, (B,), 0, size)
+                batch = jax.tree_util.tree_map(lambda store: store[idx], replay)
+                params, target_params, opt_state, metrics = self.learner._update_fn(
+                    params, target_params, opt_state, batch, k_upd, lr_scale)
+                return (params, target_params, opt_state, key), metrics["LossQ"]
+
+            (params, target_params, opt_state, key), losses = jax.lax.scan(
+                one_update, (params, target_params, opt_state, key), None,
+                length=k_sub)
+            return ((params, target_params, opt_state, replay, key, ptr, size),
+                    (losses, stats))
+
+        carry0 = (params, target_params, opt_state, replay, key, ptr, size)
+        carry, (losses, stats) = jax.lax.scan(sub_iter, carry0, None, length=S)
+        params, target_params, opt_state, replay, _, _, size = carry
 
         metrics = dict(LossQ=jnp.mean(losses),
                        EpRet=jnp.mean(stats["EpRet"]),
