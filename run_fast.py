@@ -206,6 +206,10 @@ if __name__ == "__main__":
     parser.add_argument("--exp", choices=("exp1", "exp2", "exp3"), default="exp2")
     parser.add_argument("--map", dest="map_id", default=None)
     parser.add_argument("--c", default=None, help="comm protocol (none|base|disc|commnet|tarmac|econv)")
+    parser.add_argument("--o", dest="obs_enc", default=None,
+                        help="override observation encoder (mlp|gnn), e.g. the "
+                             "exp3 MLP ablation variants (reference run_exp3 "
+                             "figure legend *-MLP)")
     parser.add_argument("--mixer", action="store_true")
     parser.add_argument("--agent", default="rnn", help="exp1 agent type (rnn|gnn)")
     parser.add_argument("--n-grps", type=int, default=2, help="exp1 GT groups")
@@ -247,12 +251,16 @@ if __name__ == "__main__":
     map_id = cli.map_id or ("r400" if cli.exp == "exp2" else "4ubs")
     c = None if cli.c in (None, "none") else cli.c
     overrides = dict(c=c, mixer=cli.mixer, compute_dtype=cli.compute_dtype)
+    if cli.obs_enc:
+        overrides["o"] = cli.obs_enc
     for k in ("epochs", "steps_per_epoch", "replay_size", "update_after", "device"):
         v = getattr(cli, k)
         if v is not None:
             overrides[k] = v
 
     name = f"{cli.exp}_fast_{map_id}_{c or 'iql'}" + ("_qmix" if cli.mixer else "")
+    if cli.obs_enc:
+        name += f"_{cli.obs_enc}"
     if cli.interleave > 1:
         name += f"_il{cli.interleave}"
     logger_kwargs = setup_logger_kwargs(name, cli.seed, data_dir=cli.data_dir)
