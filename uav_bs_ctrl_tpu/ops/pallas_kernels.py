@@ -369,10 +369,15 @@ def flash_gat_fused_reference(x_src, w_src, b_src, er, attn, mask, n_heads,
     return flash_gat_reference(el, er, attn, mask, n_heads, negative_slope)
 
 
-def _flash_gat_fused_bwd_kernel(x_ref, w_ref, b_ref, er_ref, attn_ref,
-                                mask_ref, g_ref, dvec_ref, mstat_ref,
-                                lstat_ref, dx_ref, dw_ref, db_ref, der_ref,
-                                dattn_ref, *, n_heads, negative_slope):
+def _flash_gat_fused_bwd_kernel(*refs, n_heads, negative_slope, mxu):
+    if mxu:
+        (x_ref, w_ref, b_ref, er_ref, attn_ref, mask_ref, g_ref, dvec_ref,
+         mstat_ref, lstat_ref, attn_blk_ref, dx_ref, dw_ref, db_ref, der_ref,
+         dattn_ref) = refs
+    else:
+        (x_ref, w_ref, b_ref, er_ref, attn_ref, mask_ref, g_ref, dvec_ref,
+         mstat_ref, lstat_ref, dx_ref, dw_ref, db_ref, der_ref,
+         dattn_ref) = refs
     """Flash-style backward: recompute el/alpha per block, accumulate grads.
 
     Cotangent math (g = dL/dout, per head h; alpha the masked softmax,
@@ -421,35 +426,86 @@ def _flash_gat_fused_bwd_kernel(x_ref, w_ref, b_ref, er_ref, attn_ref,
                              preferred_element_type=jnp.float32)
     el = (el + b).reshape(tn, tm, hf)
 
-    d_el = jnp.zeros((tn, tm, hf), jnp.float32)
-    for h in range(n_heads):
-        sl = slice(h * f, (h + 1) * f)
-        el_h = el[:, :, sl]                                  # [TN, TM, F]
-        er_h = er[:, sl]                                     # [TN, F]
-        attn_h = attn_ref[h, :].astype(jnp.float32)          # [F]
-        g_h = g[:, sl]                                       # [TN, F]
-
-        z = el_h + er_h[:, None, :]
+    if mxu:
+        # MXU variant: every per-head F-contraction becomes a block-diagonal
+        # matmul, mirroring the forward (benchmarks/RESULTS.md) — scores and
+        # the d_s*attn / alpha head-broadcasts as [TNM, HF]x[HF, H] (and
+        # transposed-contraction) dot_generals, dattn as one [TNM, H]^T x
+        # [TNM, HF], and d_alpha as a single-batch dot_general against a
+        # block-diagonalized g operand built from an iota mask.  Off-diagonal
+        # blocks are (H-1)/H wasted MACs; the MXU eats them against the VPU's
+        # reduce latency (same trade the forward measured at 1.7x).
+        ablk = attn_blk_ref[:].astype(jnp.float32)            # [HF, H]
+        z = el + er[:, None, :]                               # [TN, TM, HF]
         lz = jnp.where(z >= 0, z, negative_slope * z)
-        scores = jnp.sum(lz * attn_h[None, None, :], axis=-1)  # [TN, TM]
+        lz_flat = lz.reshape(tn * tm, hf)
+        scores = jax.lax.dot_general(
+            lz_flat, ablk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).reshape(tn, tm, n_heads)
 
-        m_h = mstat[:, h:h + 1]
-        shift = jnp.where(m_h <= _NEG_BIG / 2, 0.0, m_h)
-        p = jnp.where(mask > 0, jnp.exp(scores - shift), 0.0)
-        alpha = p / jnp.maximum(lstat[:, h:h + 1], 1e-30)    # [TN, TM]
+        shift = jnp.where(mstat <= _NEG_BIG / 2, 0.0, mstat)  # [TN, H]
+        p = jnp.where(mask[:, :, None] > 0,
+                      jnp.exp(scores - shift[:, None, :]), 0.0)
+        alpha = p / jnp.maximum(lstat, 1e-30)[:, None, :]     # [TN, TM, H]
 
-        d_alpha = jnp.sum(g_h[:, None, :] * el_h, axis=-1)   # [TN, TM]
-        d_s = alpha * (d_alpha - dvec[:, h:h + 1])           # [TN, TM]
+        blkmask = (jax.lax.broadcasted_iota(jnp.int32, (hf, n_heads), 0) // f
+                   == jax.lax.broadcasted_iota(jnp.int32, (hf, n_heads), 1)
+                   ).astype(jnp.float32)                      # [HF, H]
+        g_blk = g[:, :, None] * blkmask[None]                 # [TN, HF, H]
+        d_alpha = jax.lax.dot_general(
+            el, g_blk, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)               # [TN, TM, H]
+        d_s = alpha * (d_alpha - dvec[:, None, :])            # [TN, TM, H]
 
+        d_s_flat = d_s.reshape(tn * tm, n_heads)
+        # (d_s @ blk-diag attn^T)[nm, hf] = d_s[nm, head(hf)] * attn[head, f]
+        d_s_attn = jax.lax.dot_general(
+            d_s_flat, ablk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).reshape(tn, tm, hf)
         dleaky = jnp.where(z >= 0, 1.0, negative_slope)
-        d_z = d_s[:, :, None] * attn_h[None, None, :] * dleaky  # [TN, TM, F]
+        d_z = d_s_attn * dleaky                               # [TN, TM, HF]
 
-        d_el = d_el.at[:, :, sl].set(alpha[:, :, None] * g_h[:, None, :] + d_z)
-        der_ref[:, sl] += jnp.sum(d_z, axis=1)
-        # Two-step reduction keeps every intermediate >= 2-D for Mosaic.
-        da_h = jnp.sum(jnp.sum(d_s[:, :, None] * lz, axis=1), axis=0,
-                       keepdims=True)                        # [1, F]
-        dattn_ref[h:h + 1, :] += da_h
+        alpha_b = jax.lax.dot_general(
+            alpha.reshape(tn * tm, n_heads), blkmask, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).reshape(tn, tm, hf)
+        d_el = alpha_b * g[:, None, :] + d_z
+        der_ref[:] += jnp.sum(d_z, axis=1)
+
+        dfull = jax.lax.dot_general(d_s_flat, lz_flat,
+                                    (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)  # [H, HF]
+        for h in range(n_heads):
+            dattn_ref[h:h + 1, :] += dfull[h:h + 1, h * f:(h + 1) * f]
+    else:
+        d_el = jnp.zeros((tn, tm, hf), jnp.float32)
+        for h in range(n_heads):
+            sl = slice(h * f, (h + 1) * f)
+            el_h = el[:, :, sl]                                  # [TN, TM, F]
+            er_h = er[:, sl]                                     # [TN, F]
+            attn_h = attn_ref[h, :].astype(jnp.float32)          # [F]
+            g_h = g[:, sl]                                       # [TN, F]
+
+            z = el_h + er_h[:, None, :]
+            lz = jnp.where(z >= 0, z, negative_slope * z)
+            scores = jnp.sum(lz * attn_h[None, None, :], axis=-1)  # [TN, TM]
+
+            m_h = mstat[:, h:h + 1]
+            shift = jnp.where(m_h <= _NEG_BIG / 2, 0.0, m_h)
+            p = jnp.where(mask > 0, jnp.exp(scores - shift), 0.0)
+            alpha = p / jnp.maximum(lstat[:, h:h + 1], 1e-30)    # [TN, TM]
+
+            d_alpha = jnp.sum(g_h[:, None, :] * el_h, axis=-1)   # [TN, TM]
+            d_s = alpha * (d_alpha - dvec[:, h:h + 1])           # [TN, TM]
+
+            dleaky = jnp.where(z >= 0, 1.0, negative_slope)
+            d_z = d_s[:, :, None] * attn_h[None, None, :] * dleaky  # [TN, TM, F]
+
+            d_el = d_el.at[:, :, sl].set(alpha[:, :, None] * g_h[:, None, :] + d_z)
+            der_ref[:, sl] += jnp.sum(d_z, axis=1)
+            # Two-step reduction keeps every intermediate >= 2-D for Mosaic.
+            da_h = jnp.sum(jnp.sum(d_s[:, :, None] * lz, axis=1), axis=0,
+                           keepdims=True)                        # [1, F]
+            dattn_ref[h:h + 1, :] += da_h
 
     d_el_flat = d_el.reshape(tn * tm, hf)
     dx = jax.lax.dot_general(d_el_flat, w, (((1,), (1,)), ((), ())),
@@ -488,8 +544,8 @@ def _fgf_fwd(x_src, w_src, b_src, er, attn, mask_f, n_heads, negative_slope,
 
 def _fgf_bwd(n_heads, negative_slope, tile_n, tile_m, interpret, mxu, res, g):
     # The backward re-derives alpha from the forward's saved (mstat, lstat)
-    # row statistics; the VPU recompute is used regardless of the forward's
-    # contraction engine (mxu only changes forward rounding at ~1e-6 rel).
+    # row statistics.  With mxu=True the recompute and cotangent contractions
+    # ride the MXU as block-diagonal matmuls, matching the forward's engine.
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     x_src, w_src, b_src, er, attn, mask_f, out, mstat, lstat = res
@@ -516,9 +572,19 @@ def _fgf_bwd(n_heads, negative_slope, tile_n, tile_m, interpret, mxu, res, g):
     np_, mp_ = x_src.shape[0], x_src.shape[1]
     grid = (np_ // tile_n, mp_ // tile_m)
 
+    bwd_in_specs_extra = []
+    bwd_operands_extra = []
+    if mxu:
+        attn_blk = (attn[:, :, None]
+                    * jnp.eye(n_heads, dtype=attn.dtype)[:, None, :])
+        bwd_operands_extra.append(attn_blk.reshape(hf, n_heads))
+        bwd_in_specs_extra.append(pl.BlockSpec((hf, n_heads),
+                                               lambda i, j: (0, 0),
+                                               memory_space=pltpu.VMEM))
+
     dx, dw, db, der, dattn = pl.pallas_call(
         functools.partial(_flash_gat_fused_bwd_kernel, n_heads=n_heads,
-                          negative_slope=negative_slope),
+                          negative_slope=negative_slope, mxu=mxu),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_n, tile_m, d), lambda i, j: (i, j, 0),
@@ -541,7 +607,7 @@ def _fgf_bwd(n_heads, negative_slope, tile_n, tile_m, interpret, mxu, res, g):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_n, n_heads), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-        ],
+        ] + bwd_in_specs_extra,
         out_specs=[
             pl.BlockSpec((tile_n, tile_m, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
@@ -563,7 +629,7 @@ def _fgf_bwd(n_heads, negative_slope, tile_n, tile_m, interpret, mxu, res, g):
         ],
         interpret=interpret,
     )(x_src, w_src, b_src.reshape(1, hf), er, attn, mask_f, g, dvec,
-      mstat, lstat)
+      mstat, lstat, *bwd_operands_extra)
 
     return (dx[:n, :m], dw.astype(w_src.dtype), db[0].astype(b_src.dtype),
             der[:n].astype(er.dtype), dattn.astype(attn.dtype),
