@@ -149,9 +149,12 @@ def main():
             if pi >= len(PANELS[exp]):
                 continue  # uncalibrated panel (different axes)
             panel = PANELS[exp][pi]
+            # Panels repeat at a fixed 258.65-device-unit pitch with identical
+            # local axes; shift each back onto panel 1's x calibration.
+            dx = pi * 258.65
             for c, p in ps:
                 var = COLOR2VARIANT[exp].get(c, "unk" + str(c))
-                rows = [(xmap(x), ymap(y)) for x, y in p]
+                rows = [(xmap(x - dx), ymap(y)) for x, y in p]
                 path = os.path.join(OUT, f"{exp}_{panel}_{var}.csv")
                 with open(path, "w") as f:
                     f.write("step,value\n")
