@@ -6,8 +6,8 @@ matplotlib output run through a distiller.  Curves survive as stroked
 polylines (m/l/S operators) under per-object ``cm`` transforms, and tick
 labels as ``Tm``-positioned text under one shared transform — enough to
 recover the actual curve VALUES, which round-1 parity grading could only
-guess from axis ranges (and over-guessed: e.g. exp3 4ubs tops at ~87 EpRet,
-not the 200-250 axis band recorded in early BASELINE.md).
+guess from axis ranges (and over-guessed: e.g. exp3 4ubs tops at ~79 EpRet
+(Disc-GNN), not the 200-250 axis band recorded in early BASELINE.md).
 
 Writes benchmarks/ref_curves/<exp>_<panel>_<variant>.csv with columns
 (step, value) and prints a summary table of smoothed finals.
@@ -96,15 +96,9 @@ def parse_paths(s):
     return paths
 
 
-# Per-figure panel calibrations: raw-Tm anchor coords -> data values, read
-# from the tick labels dumped by this script's --dump-text mode.  Panels are
-# identified by device-x center (three curve panels per figure, cx ~112/371/629
-# for exp2/exp3, exp1 similar).
 def cal_from_anchors(x_anchors, y_anchors):
-    (xr0, xv0), (xr1, xv1) = x_anchors
-    (yr0, yv0), (yr1, yv1) = y_anchors
-    xd0, xd1 = apply(CM, xr0, 0)[0], apply(CM, xr1, 0)[0]
-    yd0, yd1 = apply(CM, 0, yr0)[1], apply(CM, 0, yr1)[1]
+    (xd0, xv0), (xd1, xv1) = x_anchors
+    (yd0, yv0), (yd1, yv1) = y_anchors
 
     def xmap(x):
         return xv0 + (x - xd0) / (xd1 - xd0) * (xv1 - xv0)
@@ -115,12 +109,17 @@ def cal_from_anchors(x_anchors, y_anchors):
     return xmap, ymap
 
 
-# Tick-label anchors (left edge of label + half-width ~8pt for x-centering).
-CALS = {
-    # exp1: x 0.0->1.0 (x1e6); first EpRet panel y 0..200 ('0' @496.66, '200' @352.66 approx)
-    "exp1": dict(x=((189.7, 0.0), (333.7, 1.0e6)), y=((496.66, 0.0), (352.66, 200.0))),
-    "exp2": dict(x=((189.7, 0.0), (333.7, 2.0e6)), y=((496.66, 0.0), (352.66, 300.0))),
-    "exp3": dict(x=((189.7, 0.0), (333.7, 3.0e6)), y=((472.72, 0.0), (352.66, 250.0))),
+# Axis anchors in DEVICE space, read off the minor-tick-mark sequences (NOT
+# the tick labels: label Tm coords are text BASELINES, ~3 device units below
+# the tick centers, which inflated every value by ~+7 EpRet on the exp3 scale
+# in the first extraction).  Validated by physics: a uniform-random policy
+# measures EpRet = -1.2 on map 4ubs in both our NumPy and JAX envs, and with
+# these anchors the reference curves' eps~1 starting points map to ~0, not +7.
+# Each entry: ((dev, value), (dev, value)) for x and y.
+CALS_DEV = {
+    "exp1": dict(x=((48.70, 0.0), (175.33, 1.0e6)), y=((252.90, 0.0), (379.54, 200.0))),
+    "exp2": dict(x=((48.75, 0.0), (175.52, 2.0e6)), y=((252.74, 0.0), (379.51, 300.0))),
+    "exp3": dict(x=((49.77, 0.0), (176.40, 3.0e6)), y=((253.88, -50.0), (380.51, 250.0))),
 }
 # Calibrated training-curve panels per figure; exp1's later panels (test-return
 # line plot, trajectory map, fairness) have different axes and are skipped.
@@ -138,7 +137,7 @@ def main():
                    re.findall(rb"stream\r?\n(.*?)endstream", data, re.S)]
         s = max(streams, key=len).decode("latin1")
         paths = parse_paths(s)
-        xmap, ymap = cal_from_anchors(CALS[exp]["x"], CALS[exp]["y"])
+        xmap, ymap = cal_from_anchors(CALS_DEV[exp]["x"], CALS_DEV[exp]["y"])
 
         groups = defaultdict(list)
         for c, p in paths:
