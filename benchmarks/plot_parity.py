@@ -42,16 +42,20 @@ PAIRS = [
      "data/exp2_fast_r400_iql/exp2_fast_r400_iql_s0/progress.txt"),
     ("exp3 4ubs TarMAC", "exp3_4ubs_tarmac_gnn.csv",
      "data/exp3_fast_4ubs_tarmac/exp3_fast_4ubs_tarmac_s0/progress.txt"),
-    ("exp3 4ubs TarMAC (interleave 10)", "exp3_4ubs_tarmac_gnn.csv",
-     "data/exp3_fast_4ubs_tarmac_il10/exp3_fast_4ubs_tarmac_il10_s0/progress.txt"),
-    ("exp3 4ubs Disc (interleave 10)", "exp3_4ubs_disc_gnn.csv",
-     "data/exp3_fast_4ubs_disc_il10/exp3_fast_4ubs_disc_il10_s0/progress.txt"),
+    ("exp3 4ubs TarMAC (seed 10)", "exp3_4ubs_tarmac_gnn.csv",
+     "data/exp3_fast_4ubs_tarmac/exp3_fast_4ubs_tarmac_s10/progress.txt"),
+    ("exp3 4ubs ref-TarMAC vs ours TarMAC+QMIX", "exp3_4ubs_tarmac_gnn.csv",
+     "data/exp3_fast_4ubs_tarmac_qmix/exp3_fast_4ubs_tarmac_qmix_s0/progress.txt"),
+    ("exp3 4ubs ref-Disc vs ours Disc+QMIX", "exp3_4ubs_disc_gnn.csv",
+     "data/exp3_fast_4ubs_disc_qmix/exp3_fast_4ubs_disc_qmix_s0/progress.txt"),
     ("exp3 4ubs TarMAC-MLP", "exp3_4ubs_tarmac_mlp.csv",
      "data/exp3_fast_4ubs_tarmac_mlp/exp3_fast_4ubs_tarmac_mlp_s0/progress.txt"),
     ("exp3 6ubs TarMAC", "exp3_6ubs_tarmac_gnn.csv",
      "data/exp3_fast_6ubs_tarmac/exp3_fast_6ubs_tarmac_s0/progress.txt"),
     ("exp3 8ubs TarMAC", "exp3_8ubs_tarmac_gnn.csv",
      "data/exp3_fast_8ubs_tarmac/exp3_fast_8ubs_tarmac_s0/progress.txt"),
+    ("exp3 8ubs ref-TarMAC vs ours TarMAC+QMIX", "exp3_8ubs_tarmac_gnn.csv",
+     "data/exp3_fast_8ubs_tarmac_qmix_il10/exp3_fast_8ubs_tarmac_qmix_il10_s0/progress.txt"),
 ]
 
 
