@@ -81,7 +81,11 @@ def main():
         ax = axes[i // ncols][i % ncols]
         ax.set_visible(True)
         ref = pd.read_csv(rp)
-        ours = pd.read_csv(op, sep="\t")
+        try:
+            ours = pd.read_csv(op, sep="\t")
+        except Exception:
+            ax.set_visible(False)
+            continue  # run just started; progress.txt still empty
         ours = ours[~ours.TotalEnvInteracts.duplicated(keep="last")]
         ax.plot(ref.step / 1e6, ref.value, color=REF_BLUE, lw=2,
                 label="reference (3-seed mean)")
