@@ -50,7 +50,9 @@ def _flash_gat_kernel(el_ref, er_ref, attn_ref, mask_ref, out_ref,
 
     el = el_ref[:]                    # [TN, TM, H*F]
     er = er_ref[:]                    # [TN, H*F]
-    mask = mask_ref[:]                # [TN, TM] (float 0/1)
+    # f32 load: Mosaic rejects minor-dim inserts (mask[:, :, None]) on
+    # 16-bit types, so a bf16 mask must be widened before broadcasting.
+    mask = mask_ref[:].astype(jnp.float32)  # [TN, TM] (float 0/1)
 
     tn, tm, hf = el.shape
     f = hf // n_heads
@@ -181,7 +183,9 @@ def _flash_gat_fused_kernel(x_ref, w_ref, b_ref, er_ref, attn_ref, mask_ref,
     x = x_ref[:]                      # [TN, TM, D]
     w = w_ref[:]                      # [D, H*F]
     b = b_ref[:]                      # [1, H*F]
-    mask = mask_ref[:]                # [TN, TM] (float 0/1)
+    # f32 load: Mosaic rejects minor-dim inserts (mask[:, :, None]) on
+    # 16-bit types, so a bf16 mask must be widened before broadcasting.
+    mask = mask_ref[:].astype(jnp.float32)  # [TN, TM] (float 0/1)
 
     tn, tm, d = x.shape
     hf = w.shape[1]
@@ -400,7 +404,7 @@ def _flash_gat_fused_bwd_kernel(*refs, n_heads, negative_slope, mxu):
     x = x_ref[:]                       # [TN, TM, D]
     w = w_ref[:].astype(jnp.float32)   # [D, HF]
     b = b_ref[:].astype(jnp.float32)   # [1, HF]
-    mask = mask_ref[:]                 # [TN, TM]
+    mask = mask_ref[:].astype(jnp.float32)  # [TN, TM] (bf16-safe, see fwd)
     g = g_ref[:].astype(jnp.float32)   # [TN, HF]
     er = er_ref[:].astype(jnp.float32)
     dvec = dvec_ref[:]                 # [TN, H]  (f32)
