@@ -550,6 +550,10 @@ def _fgf_bwd(n_heads, negative_slope, tile_n, tile_m, interpret, mxu, res, g):
     # The backward re-derives alpha from the forward's saved (mstat, lstat)
     # row statistics.  With mxu=True the recompute and cotangent contractions
     # ride the MXU as block-diagonal matmuls, matching the forward's engine.
+    # The bwd block holds ~6 live [TN, TM, HF] f32 intermediates (z/lz/d_el/
+    # d_z/alpha-broadcasts), 4x the forward's footprint — clamp its row tile
+    # so VMEM stays under the 16 MB scoped limit (fwd keeps the larger tile).
+    tile_n = min(tile_n, 8)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     x_src, w_src, b_src, er, attn, mask_f, out, mstat, lstat = res
