@@ -43,7 +43,12 @@ TRAIN_KW = dict(o="gnn", c="tarmac", hidden_size=HID, msg_size=MSG, key_size=KEY
                 # Mixed precision: bf16 unrolls with f32 masters/loss/optimizer
                 # (1.22x on-chip vs f32; first-update loss matches to 3 decimals
                 # — see benchmarks/bench_bf16_ab.py).
-                compute_dtype="bfloat16")
+                compute_dtype="bfloat16",
+                # MXU block-diagonal flash-GAT (fwd + bwd) — hardware A/B at
+                # this exact shape (benchmarks/bench_train_swarm.py, bf16):
+                # 24.1 ms/update vs 36.5 dense = 1.51x, losses matching to
+                # 3 decimals.  See benchmarks/RESULTS.md round-2 section.
+                gat_backend="pallas_fused_mxu")
 
 
 def log(*a):
