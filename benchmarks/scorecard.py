@@ -82,8 +82,16 @@ def main():
     lines = [f"{'run':34s} {'ref variant':16s} {'ref':>7s} {'ours':>7s} "
              f"{'seeds':>5s} {'steps':>9s}  verdict"]
     for name, key, ref, ours, n, steps in rows:
-        verdict = ("ABOVE" if ours >= ref else
-                   f"{100 * ours / ref:.0f}% of ref") if ref else "-"
+        if ref is None:
+            verdict = "-"
+        elif ours >= ref:
+            verdict = "ABOVE"
+        elif abs(ref) < 10:
+            # near-zero reference point (the exp3 MLP ablations are flat);
+            # a percentage would be noise — report the absolute gap instead
+            verdict = f"flat-ref gap {ours - ref:+.1f}"
+        else:
+            verdict = f"{100 * ours / ref:.0f}% of ref"
         lines.append(f"{name:34s} {key:16s} {ref:7.1f} {ours:7.1f} "
                      f"{n:5d} {steps:9d}  {verdict}")
     out = "\n".join(lines) + "\n"
