@@ -104,7 +104,12 @@ def train_fast_exp1(env_kwargs, seed=0, train_overrides=None, logger_kwargs=None
             logger.store(**trainer.evaluate(n_episodes=args.num_test_episodes))
             learner.step_lr_scheduler()
 
-            if (epoch % args.save_freq == 0) or (it + 1 == n_iters):
+            # Final-save must key on the LAST EPOCH BOUNDARY, not the last
+            # iteration: when iters_per_epoch does not divide n_iters (exp2:
+            # 2e6 steps / 1920 steps-per-iter = 1041 iters, 10 per epoch) the
+            # trailing iterations never hit this block, so `it+1 == n_iters`
+            # would skip the final checkpoint.
+            if (epoch % args.save_freq == 0) or (it + 1 + iters_per_epoch > n_iters):
                 save_path = osp.join(logger.output_dir or "/tmp",
                                      f"checkpoint_epoch{epoch}.pt")
                 learner.save_checkpoint(save_path, stamp=dict(epoch=epoch, t=t_global))
@@ -173,7 +178,12 @@ def train_fast(exp, map_id, seed=0, train_overrides=None, logger_kwargs=None,
             logger.store(**test_stats)
             learner.step_lr_scheduler()
 
-            if (epoch % args.save_freq == 0) or (it + 1 == n_iters):
+            # Final-save must key on the LAST EPOCH BOUNDARY, not the last
+            # iteration: when iters_per_epoch does not divide n_iters (exp2:
+            # 2e6 steps / 1920 steps-per-iter = 1041 iters, 10 per epoch) the
+            # trailing iterations never hit this block, so `it+1 == n_iters`
+            # would skip the final checkpoint.
+            if (epoch % args.save_freq == 0) or (it + 1 + iters_per_epoch > n_iters):
                 save_path = osp.join(logger.output_dir or "/tmp",
                                      f"checkpoint_epoch{epoch}.pt")
                 learner.save_checkpoint(save_path, stamp=dict(epoch=epoch, t=t_global))
