@@ -44,6 +44,18 @@ EXP_PRESETS = {
 }
 
 
+def should_save(epoch, it, iters_per_epoch, n_iters, save_freq):
+    """Checkpoint decision at an epoch boundary (``(it+1) % iters_per_epoch == 0``).
+
+    The final save must key on the LAST EPOCH BOUNDARY, not the last
+    iteration: when ``iters_per_epoch`` does not divide ``n_iters`` (exp2:
+    2e6 steps at 1920 steps/iter = 1041 iters, 10 per epoch) the trailing
+    iterations never reach an epoch boundary, so an ``it+1 == n_iters``
+    condition would skip the final checkpoint entirely.
+    """
+    return (epoch % save_freq == 0) or (it + 1 + iters_per_epoch > n_iters)
+
+
 def _maybe_resume(trainer, output_dir, eps_fn):
     """Load the newest checkpoint from ``output_dir`` and refill the replay.
 
@@ -104,12 +116,7 @@ def train_fast_exp1(env_kwargs, seed=0, train_overrides=None, logger_kwargs=None
             logger.store(**trainer.evaluate(n_episodes=args.num_test_episodes))
             learner.step_lr_scheduler()
 
-            # Final-save must key on the LAST EPOCH BOUNDARY, not the last
-            # iteration: when iters_per_epoch does not divide n_iters (exp2:
-            # 2e6 steps / 1920 steps-per-iter = 1041 iters, 10 per epoch) the
-            # trailing iterations never hit this block, so `it+1 == n_iters`
-            # would skip the final checkpoint.
-            if (epoch % args.save_freq == 0) or (it + 1 + iters_per_epoch > n_iters):
+            if should_save(epoch, it, iters_per_epoch, n_iters, args.save_freq):
                 save_path = osp.join(logger.output_dir or "/tmp",
                                      f"checkpoint_epoch{epoch}.pt")
                 learner.save_checkpoint(save_path, stamp=dict(epoch=epoch, t=t_global))
@@ -178,12 +185,7 @@ def train_fast(exp, map_id, seed=0, train_overrides=None, logger_kwargs=None,
             logger.store(**test_stats)
             learner.step_lr_scheduler()
 
-            # Final-save must key on the LAST EPOCH BOUNDARY, not the last
-            # iteration: when iters_per_epoch does not divide n_iters (exp2:
-            # 2e6 steps / 1920 steps-per-iter = 1041 iters, 10 per epoch) the
-            # trailing iterations never hit this block, so `it+1 == n_iters`
-            # would skip the final checkpoint.
-            if (epoch % args.save_freq == 0) or (it + 1 + iters_per_epoch > n_iters):
+            if should_save(epoch, it, iters_per_epoch, n_iters, args.save_freq):
                 save_path = osp.join(logger.output_dir or "/tmp",
                                      f"checkpoint_epoch{epoch}.pt")
                 learner.save_checkpoint(save_path, stamp=dict(epoch=epoch, t=t_global))
