@@ -16,7 +16,9 @@ Usage:
 """
 
 import argparse
+import os
 import os.path as osp
+import sys
 import time
 
 from uav_bs_ctrl_tpu.algos.drqn.fused import FusedDrqnTrainer
@@ -54,6 +56,61 @@ def should_save(epoch, it, iters_per_epoch, n_iters, save_freq):
     condition would skip the final checkpoint entirely.
     """
     return (epoch % save_freq == 0) or (it + 1 + iters_per_epoch > n_iters)
+
+
+def _maybe_inject_crash(it, fresh_start):
+    """Test hook: raise once, mid-run, on a fresh (non-resumed) start.
+
+    ``UAVBS_TEST_CRASH_AT_ITER=k`` simulates a tunnel/backend failure at
+    iteration ``k`` so the retry path (``--retries``) can be regression-tested
+    end-to-end: the relaunched process resumes from the newest checkpoint and
+    must complete the full budget.
+    """
+    at = os.environ.get("UAVBS_TEST_CRASH_AT_ITER")
+    if at is not None and fresh_start and it == int(at):
+        raise RuntimeError(f"injected crash at iteration {it}")
+
+
+def _supervise(retries):
+    """Run this invocation as a supervised child; relaunch with ``--resume``.
+
+    A dropped TPU tunnel wedges the in-process JAX backend (and can SIGKILL
+    the client outright), so recovery needs a clean interpreter — the same
+    role the reference's per-variant subprocess isolation plays
+    (``utils/run_utils.py:170-184``).  The supervisor holds no backend; the
+    child is marked via ``UAVBS_SUPERVISED`` so it doesn't recurse.  On
+    SIGTERM/SIGINT (e.g. an outer ``timeout``), the child is terminated and
+    no relaunch happens.  Returns only via ``sys.exit``.
+    """
+    import signal
+    import subprocess
+
+    env = dict(os.environ, UAVBS_SUPERVISED="1")
+    child = None
+    interrupted = []
+
+    def _forward(signum, frame):
+        interrupted.append(signum)
+        if child is not None and child.poll() is None:
+            child.terminate()
+
+    signal.signal(signal.SIGTERM, _forward)
+    signal.signal(signal.SIGINT, _forward)
+
+    for attempt in range(retries + 1):
+        argv = [sys.executable] + sys.argv
+        if attempt and "--resume" not in argv:
+            argv.append("--resume")
+        child = subprocess.Popen(argv, env=env)
+        rc = child.wait()
+        if rc == 0:
+            sys.exit(0)
+        if interrupted:
+            sys.exit(128 + interrupted[0])
+        if attempt < retries:
+            print(f"[run_fast] child exit={rc}; relaunching with --resume "
+                  f"({retries - attempt - 1} retries left)", flush=True)
+    sys.exit(rc)
 
 
 def _maybe_resume(trainer, output_dir, eps_fn):
@@ -106,6 +163,7 @@ def train_fast_exp1(env_kwargs, seed=0, train_overrides=None, logger_kwargs=None
     t_resumed = t_global
     start_time = time.time()
     for it in range(epoch0 * iters_per_epoch, n_iters):
+        _maybe_inject_crash(it, fresh_start=epoch0 == 0)
         warmup = t_global < update_after
         metrics = trainer.run_iteration(eps(t_global), warmup=warmup)
         t_global += steps_per_iter
@@ -174,6 +232,7 @@ def train_fast(exp, map_id, seed=0, train_overrides=None, logger_kwargs=None,
     t_resumed = t_global
     start_time = time.time()
     for it in range(epoch0 * iters_per_epoch, n_iters):
+        _maybe_inject_crash(it, fresh_start=epoch0 == 0)
         warmup = t_global < update_after
         metrics = trainer.run_iteration(eps(t_global), warmup=warmup)
         t_global += steps_per_iter
@@ -241,42 +300,62 @@ if __name__ == "__main__":
     parser.add_argument("--data-dir", default=None)
     parser.add_argument("--resume", action="store_true",
                         help="continue from the newest checkpoint in the run dir")
+    parser.add_argument("--name-suffix", default=None,
+                        help="append '_<suffix>' to the auto run name (keeps "
+                             "ablation runs out of committed run dirs)")
+    parser.add_argument("--save-freq", type=int, default=None,
+                        help="checkpoint cadence in epochs (default: preset)")
+    parser.add_argument("--retries", type=int, default=0,
+                        help="on crash, re-exec this process with --resume up "
+                             "to N times (fresh backend; survives tunnel drops)")
     cli = parser.parse_args()
+
+    if cli.retries > 0 and os.environ.get("UAVBS_SUPERVISED") != "1":
+        _supervise(cli.retries)  # exits; training runs in supervised children
 
     from uav_bs_ctrl_tpu.algos.common import enable_persistent_compilation_cache
     enable_persistent_compilation_cache()
 
-    if cli.exp == "exp1":
-        overrides = dict(agent=cli.agent, compute_dtype=cli.compute_dtype)
-        for k in ("epochs", "steps_per_epoch", "replay_size", "update_after", "device"):
+    def _dispatch():
+        if cli.exp == "exp1":
+            overrides = dict(agent=cli.agent, compute_dtype=cli.compute_dtype)
+            for k in ("epochs", "steps_per_epoch", "replay_size", "update_after",
+                      "device", "save_freq"):
+                v = getattr(cli, k)
+                if v is not None:
+                    overrides[k] = v
+            env_kwargs = dict(n_grps=cli.n_grps, gts_per_grp=cli.gts_per_grp)
+            name = f"exp1_fast_grp{cli.n_grps}_size{cli.gts_per_grp}_{cli.agent}"
+            if cli.name_suffix:
+                name += f"_{cli.name_suffix}"
+            logger_kwargs = setup_logger_kwargs(name, cli.seed, data_dir=cli.data_dir)
+            train_fast_exp1(env_kwargs, seed=cli.seed, train_overrides=overrides,
+                            logger_kwargs=logger_kwargs, n_worlds=cli.n_worlds,
+                            n_layouts=cli.n_layouts, resume=cli.resume)
+            return
+
+        map_id = cli.map_id or ("r400" if cli.exp == "exp2" else "4ubs")
+        c = None if cli.c in (None, "none") else cli.c
+        overrides = dict(c=c, mixer=cli.mixer, compute_dtype=cli.compute_dtype)
+        if cli.obs_enc:
+            overrides["o"] = cli.obs_enc
+        for k in ("epochs", "steps_per_epoch", "replay_size", "update_after",
+                  "device", "save_freq"):
             v = getattr(cli, k)
             if v is not None:
                 overrides[k] = v
-        env_kwargs = dict(n_grps=cli.n_grps, gts_per_grp=cli.gts_per_grp)
-        name = f"exp1_fast_grp{cli.n_grps}_size{cli.gts_per_grp}_{cli.agent}"
+
+        name = f"{cli.exp}_fast_{map_id}_{c or 'iql'}" + ("_qmix" if cli.mixer else "")
+        if cli.obs_enc:
+            name += f"_{cli.obs_enc}"
+        if cli.interleave > 1:
+            name += f"_il{cli.interleave}"
+        if cli.name_suffix:
+            name += f"_{cli.name_suffix}"
         logger_kwargs = setup_logger_kwargs(name, cli.seed, data_dir=cli.data_dir)
-        train_fast_exp1(env_kwargs, seed=cli.seed, train_overrides=overrides,
-                        logger_kwargs=logger_kwargs, n_worlds=cli.n_worlds,
-                        n_layouts=cli.n_layouts, resume=cli.resume)
-        raise SystemExit(0)
+        train_fast(cli.exp, map_id, seed=cli.seed, train_overrides=overrides,
+                   logger_kwargs=logger_kwargs, n_worlds=cli.n_worlds,
+                   n_layouts=cli.n_layouts, resume=cli.resume,
+                   interleave=cli.interleave)
 
-    map_id = cli.map_id or ("r400" if cli.exp == "exp2" else "4ubs")
-    c = None if cli.c in (None, "none") else cli.c
-    overrides = dict(c=c, mixer=cli.mixer, compute_dtype=cli.compute_dtype)
-    if cli.obs_enc:
-        overrides["o"] = cli.obs_enc
-    for k in ("epochs", "steps_per_epoch", "replay_size", "update_after", "device"):
-        v = getattr(cli, k)
-        if v is not None:
-            overrides[k] = v
-
-    name = f"{cli.exp}_fast_{map_id}_{c or 'iql'}" + ("_qmix" if cli.mixer else "")
-    if cli.obs_enc:
-        name += f"_{cli.obs_enc}"
-    if cli.interleave > 1:
-        name += f"_il{cli.interleave}"
-    logger_kwargs = setup_logger_kwargs(name, cli.seed, data_dir=cli.data_dir)
-    train_fast(cli.exp, map_id, seed=cli.seed, train_overrides=overrides,
-               logger_kwargs=logger_kwargs, n_worlds=cli.n_worlds,
-               n_layouts=cli.n_layouts, resume=cli.resume,
-               interleave=cli.interleave)
+    _dispatch()
