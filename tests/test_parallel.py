@@ -240,3 +240,39 @@ def test_graph_parallel_training_step_matches_dense():
                       jax.tree_util.tree_leaves(params_gp)):
         np.testing.assert_allclose(np.asarray(xb), np.asarray(xa),
                                    atol=5e-5, rtol=1e-3)
+
+
+def test_graph_parallel_fallback_warns_once():
+    """Silent dense fallback is no longer silent: one RuntimeWarning per config."""
+    import warnings
+
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from uav_bs_ctrl_tpu.models import encoders
+    from uav_bs_ctrl_tpu.parallel.graph_parallel import set_graph_parallel_mesh
+
+    p = encoders.gatv2_init(jax.random.PRNGKey(0), 5, 3, 4, 8)
+    x_src = jnp.zeros((2, 7, 5))  # 7 slots: not divisible by the 8-way axis
+    x_dst = jnp.zeros((2, 3))
+    mask = jnp.ones((2, 7), bool)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("gp",))
+    set_graph_parallel_mesh(mesh)
+    try:
+        encoders._gp_fallback_warned.clear()
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            encoders.gatv2(p, x_src, x_dst, mask, 4, backend="graph_parallel")
+            encoders.gatv2(p, x_src, x_dst, mask, 4, backend="graph_parallel")
+        msgs = [str(x.message) for x in w if x.category is RuntimeWarning]
+        assert len(msgs) == 1 and "not divisible" in msgs[0]
+
+        set_graph_parallel_mesh(None)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            encoders.gatv2(p, x_src, x_dst, mask, 4, backend="graph_parallel")
+        msgs = [str(x.message) for x in w if x.category is RuntimeWarning]
+        assert len(msgs) == 1 and "no mesh registered" in msgs[0]
+    finally:
+        set_graph_parallel_mesh(None)
+        encoders._gp_fallback_warned.clear()

@@ -27,6 +27,30 @@ from uav_bs_ctrl_tpu.ops.masked import masked_softmax
 
 _SQRT2 = 1.4142135623730951
 
+_gp_fallback_warned = set()
+
+
+def _warn_graph_parallel_fallback(mesh, axis, n_slots):
+    """One-time warning when gat_backend='graph_parallel' routes to dense.
+
+    A mis-sized mesh (or no registered mesh) silently losing the distributed
+    path is invisible in run logs otherwise; warn once per (mesh, slot-count)
+    configuration.  This runs at TRACE time (the fallback is a static shape
+    decision), so the warning fires once per compilation, not per step.
+    """
+    key = (None if mesh is None else (tuple(mesh.shape.items()), axis), n_slots)
+    if key in _gp_fallback_warned:
+        return
+    _gp_fallback_warned.add(key)
+    import warnings
+    if mesh is None:
+        why = "no mesh registered (parallel.graph_parallel.set_graph_parallel_mesh)"
+    else:
+        why = (f"slot count {n_slots} not divisible by mesh axis "
+               f"'{axis}' size {mesh.shape[axis]}")
+    warnings.warn(f"gat_backend='graph_parallel' fell back to dense: {why}",
+                  RuntimeWarning, stacklevel=3)
+
 
 def gatv2_init(key, d_src, d_dst, n_heads, feats_per_head, dtype=jnp.float32):
     """DGL-0.9-compatible init: xavier_normal(gain=sqrt(2)) weights."""
@@ -89,6 +113,7 @@ def gatv2(p, x_src, x_dst, mask, n_heads, negative_slope=0.2, activation=jax.nn.
             return gatv2_graph_parallel(p, x_src, x_dst, mask, n_heads, mesh,
                                         axis=axis, negative_slope=negative_slope,
                                         activation=activation)
+        _warn_graph_parallel_fallback(mesh, axis, x_src.shape[-2])
         return gatv2(p, x_src, x_dst, mask, n_heads, negative_slope,
                      activation, backend="dense")
     elif backend in ("pallas_fused", "pallas_fused_mxu"):
