@@ -34,12 +34,21 @@ A, M, K = 8, 50, 7
 NF_GT, NF_UBS = 5, 3
 HID, HEADS, MSG, KEYSZ = 256, 4, 64, 16
 N_ACT = 9
-B, T = 32, 50
+import os
+
+# B: replay-sampled sequences per update.  The reference trains at 32; the
+# throughput headline runs the same program at a larger batch because the
+# flagship update is LATENCY-bound at B=32 (<2% MXU/HBM utilization — 101
+# sequential scan steps of small ops; benchmarks/RESULTS.md roofline):
+# batch growth amortizes the fixed per-step latency across more edges.
+# ``BENCH_B`` overrides for A/B sweeps (benchmarks/bench_batch_sweep.py).
+B = int(os.environ.get("BENCH_B", 32))
+T = 50
 STATE_DIM = A * 2 + M * 4
 EDGES_PER_UPDATE = B * (2 * T + 1) * A * (M + K + A)
 TRAIN_KW = dict(o="gnn", c="tarmac", hidden_size=HID, msg_size=MSG, key_size=KEYSZ,
                 n_heads=HEADS, n_layers=2, batch_size=B, max_seq_len=T,
-                double_q=True, dueling=True, replay_size=64,
+                double_q=True, dueling=True, replay_size=max(64, B),
                 # Mixed precision: bf16 unrolls with f32 masters/loss/optimizer
                 # (1.22x on-chip vs f32; first-update loss matches to 3 decimals
                 # — see benchmarks/bench_bf16_ab.py).
