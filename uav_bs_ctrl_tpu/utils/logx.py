@@ -20,19 +20,16 @@ import numpy as np
 
 from uav_bs_ctrl_tpu.utils.serialization import convert_json
 
-color2num = dict(gray=30, red=31, green=32, yellow=33, blue=34, magenta=35,
-                 cyan=36, white=37, crimson=38)
+# SGR foreground codes (ANSI): +10 selects the background variant.
+_ANSI_FG = dict(gray=30, red=31, green=32, yellow=33, blue=34, magenta=35,
+                cyan=36, white=37, crimson=38)
 
 
-def colorize(string, color, bold=False, highlight=False):
-    attr = []
-    num = color2num[color]
-    if highlight:
-        num += 10
-    attr.append(str(num))
+def colorize(text, color, bold=False, highlight=False):
+    codes = [str(_ANSI_FG[color] + (10 if highlight else 0))]
     if bold:
-        attr.append('1')
-    return '\x1b[%sm%s\x1b[0m' % (';'.join(attr), string)
+        codes.append('1')
+    return f"\x1b[{';'.join(codes)}m{text}\x1b[0m"
 
 
 def proc_id() -> int:
@@ -136,24 +133,26 @@ class Logger:
                 out.write(output)
 
     def dump_tabular(self):
+        """Flush the current row: boxed stdout table + one TSV line.
+
+        The TSV formatting (tab-joined ``str()`` of raw values, header only on
+        the first fresh-file row) is load-bearing — ``plot.py`` /
+        ``collect_curves.py`` / the parity scorecard all ``read_table`` it.
+        """
         if proc_id() == 0:
-            vals = []
-            key_lens = [len(key) for key in self.log_headers]
-            max_key_len = max(15, max(key_lens))
-            keystr = '%' + '%d' % max_key_len
-            fmt = "| " + keystr + "s | %15s |"
-            n_slashes = 22 + max_key_len
-            print("-" * n_slashes)
-            for key in self.log_headers:
-                val = self.log_current_row.get(key, "")
-                valstr = "%8.3g" % val if hasattr(val, "__float__") else val
-                print(fmt % (key, valstr))
-                vals.append(val)
-            print("-" * n_slashes, flush=True)
+            row = [self.log_current_row.get(key, "") for key in self.log_headers]
+            width = max(15, *(len(key) for key in self.log_headers))
+            rule = "-" * (width + 22)
+            lines = [rule]
+            for key, val in zip(self.log_headers, row):
+                shown = f"{val:8.3g}" if hasattr(val, "__float__") else val
+                lines.append(f"| {key:>{width}} | {shown:>15} |")
+            lines.append(rule)
+            print("\n".join(lines), flush=True)
             if self.output_file is not None:
                 if self.first_row and not self._skip_header:
                     self.output_file.write("\t".join(self.log_headers) + "\n")
-                self.output_file.write("\t".join(map(str, vals)) + "\n")
+                self.output_file.write("\t".join(str(v) for v in row) + "\n")
                 self.output_file.flush()
         self.log_current_row.clear()
         self.first_row = False

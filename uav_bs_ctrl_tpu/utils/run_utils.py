@@ -167,65 +167,70 @@ class ExperimentGrid:
         self.shs.append(shorthand)
         self.in_names.append(in_name)
 
+    @staticmethod
+    def _lookup(variant, key):
+        """Fetch ``key`` from a variant dict, descending colon-nested levels.
+
+        Accepts both flat (``{'a:b': v}``) and nested (``{'a': {'b': v}}``)
+        variants — ``variant_name`` is called on nested ones by ``run`` and on
+        either by user code.
+        """
+        node, rest = variant, key
+        while rest not in node:
+            head, _, rest = rest.partition(':')
+            node = node[head]
+        return node[rest]
+
     def variant_name(self, variant):
-        """Name a variant from its non-default parameters (seed excluded)."""
+        """Name a variant from its non-default parameters (seed excluded).
 
-        def get_val(v, k):
-            if k in v:
-                return v[k]
-            splits = k.split(':')
-            k0, k1 = splits[0], ':'.join(splits[1:])
-            return get_val(v[k0], k1)
+        Naming rules (shared with the reference so run dirs line up for the
+        downstream plot/collect/eval tooling): a grid axis contributes a part
+        iff it has >1 value or was added with ``in_name``; all-bool axes
+        contribute their label as a bare flag only when True; other axes
+        contribute ``<label><value>``.
+        """
+        parts = [self._name] if self._name else []
+        for key, vals, sh, in_name in zip(self.keys, self.vals, self.shs,
+                                          self.in_names):
+            if key == 'seed' or (len(vals) == 1 and not in_name):
+                continue
+            label = valid_str(sh) if sh is not None else valid_str(key)
+            value = self._lookup(variant, key)
+            if all_bools(vals):
+                if value:
+                    parts.append(label)
+            else:
+                parts.append(label + valid_str(value))
+        return '_'.join(parts) if parts else ''
 
-        var_name = self._name
-        for k, v, sh, inn in zip(self.keys, self.vals, self.shs, self.in_names):
-            if (len(v) > 1 or inn) and not (k == 'seed'):
-                param_name = valid_str(sh if sh is not None else k)
-                variant_val = get_val(variant, k)
-                if all_bools(v):
-                    var_name += ('_' + param_name) if variant_val else ''
-                else:
-                    var_name += '_' + param_name + valid_str(variant_val)
-        return var_name.lstrip('_')
-
-    def _variants(self, keys, vals):
-        if len(keys) == 1:
-            pre_variants = [dict()]
-        else:
-            pre_variants = self._variants(keys[1:], vals[1:])
-        variants = []
-        for val in vals[0]:
-            for pre_v in pre_variants:
-                v = {keys[0]: val}
-                v.update(pre_v)
-                variants.append(v)
-        return variants
+    @staticmethod
+    def _nest(flat):
+        """Expand colon-separated keys into nested dicts (``'a:b': v`` ->
+        ``{'a': {'b': v}}``), rejecting paths that collide."""
+        nested = {}
+        for key, val in flat.items():
+            *path, leaf = key.split(':')
+            node = nested
+            for part in path:
+                node = node.setdefault(part, {})
+                if not isinstance(node, dict):
+                    raise ValueError(
+                        f"grid key {key!r} collides with a scalar at {part!r}")
+            if leaf in node:
+                raise ValueError(f"grid key {key!r} assigned more than once")
+            node[leaf] = val
+        return nested
 
     def variants(self):
-        """All grid configs as dicts; colon keys become nested dicts."""
-        flat_variants = self._variants(self.keys, self.vals)
+        """All grid configs as dicts; colon keys become nested dicts.
 
-        def unflatten_var(var):
-            new_var = dict()
-            unflatten_set = set()
-            for k, v in var.items():
-                if ':' in k:
-                    splits = k.split(':')
-                    k0 = splits[0]
-                    assert k0 not in new_var or isinstance(new_var[k0], dict), \
-                        "You can't assign multiple values to the same key."
-                    if k0 not in new_var:
-                        new_var[k0] = dict()
-                    new_var[k0][':'.join(splits[1:])] = v
-                    unflatten_set.add(k0)
-                else:
-                    assert k not in new_var, "You can't assign multiple values to the same key."
-                    new_var[k] = v
-            for k in unflatten_set:
-                new_var[k] = unflatten_var(new_var[k])
-            return new_var
-
-        return [unflatten_var(var) for var in flat_variants]
+        ``itertools.product`` iterates the first axis slowest, matching the
+        run order users see in the printed variant list.
+        """
+        import itertools
+        return [self._nest(dict(zip(self.keys, combo)))
+                for combo in itertools.product(*self.vals)]
 
     def run(self, thunk, num_cpu=1, data_dir=None, datestamp=False,
             fail_fast=True):
