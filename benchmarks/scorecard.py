@@ -26,17 +26,34 @@ RUNS = [
     ("exp1_fast_grp4_size5_gnn/*", ("exp1", "all_sizes", "grp4_gnn")),
     ("exp1_fast_grp4_size5_rnn/*", ("exp1", "all_sizes", "grp4_mlp")),
     ("exp2_fast_r400_tarmac/*", ("exp2", "r400", "tarmac")),
+    ("exp2_fast_r400_disc/*", ("exp2", "r400", "disc")),
     ("exp2_fast_r400_disc_qmix/*", ("exp2", "r400", "disc")),
-    ("exp2_fast_r800_tarmac/*", ("exp2", "r800", "tarmac")),
-    ("exp2_fast_inf_tarmac/*", ("exp2", "inf", "tarmac")),
     ("exp2_fast_r400_iql/*", ("exp2", "r400", "iql")),
+    ("exp2_fast_r400_iql_qmix/*", ("exp2", "r400", "qmix")),
+    ("exp2_fast_r800_tarmac/*", ("exp2", "r800", "tarmac")),
+    ("exp2_fast_r800_disc/*", ("exp2", "r800", "disc")),
+    ("exp2_fast_r800_iql/*", ("exp2", "r800", "iql")),
+    ("exp2_fast_r800_iql_qmix/*", ("exp2", "r800", "qmix")),
+    ("exp2_fast_inf_tarmac/*", ("exp2", "inf", "tarmac")),
+    ("exp2_fast_inf_disc/*", ("exp2", "inf", "disc")),
+    ("exp2_fast_inf_iql/*", ("exp2", "inf", "iql")),
+    ("exp2_fast_inf_iql_qmix/*", ("exp2", "inf", "qmix")),
     ("exp3_fast_4ubs_tarmac/*", ("exp3", "4ubs", "tarmac_gnn")),
     ("exp3_fast_4ubs_tarmac_qmix/*", ("exp3", "4ubs", "tarmac_gnn")),
     ("exp3_fast_4ubs_disc_qmix/*", ("exp3", "4ubs", "disc_gnn")),
+    ("exp3_fast_4ubs_disc_qmix_lay64k/*", ("exp3", "4ubs", "disc_gnn")),
+    ("exp3_fast_4ubs_disc_lay64k/*", ("exp3", "4ubs", "disc_gnn")),
     ("exp3_fast_4ubs_tarmac_mlp/*", ("exp3", "4ubs", "tarmac_mlp")),
     ("exp3_fast_6ubs_tarmac/*", ("exp3", "6ubs", "tarmac_gnn")),
+    ("exp3_fast_6ubs_tarmac_qmix_il10_lay64k/*", ("exp3", "6ubs", "tarmac_gnn")),
     ("exp3_fast_8ubs_tarmac_qmix_il10/*", ("exp3", "8ubs", "tarmac_gnn")),
+    ("exp3_fast_8ubs_tarmac_qmix_il10_lay64k/*", ("exp3", "8ubs", "tarmac_gnn")),
 ]
+
+# Reference training budgets (env steps) per experiment family — used to
+# disclose unequal-budget comparisons directly in the verdict string
+# (reference run_exp1.py:37-38, run_exp2.py:45-47, run_exp3.py:45-47).
+REF_BUDGET = {"exp1": 1_000_000, "exp2": 2_000_000, "exp3": 3_000_000}
 
 TAIL_FRAC = 0.08  # same smoothing window as the reference-curve extraction
 
@@ -54,6 +71,11 @@ def load_ref():
 
 def smoothed_final(progress_path):
     df = pd.read_csv(progress_path, sep="\t")
+    if "Epoch" in df:
+        # An append-mode resume from a checkpoint older than the last logged
+        # epoch re-logs those epochs; keep only the newest row per epoch so
+        # the tail statistic never double-counts.
+        df = df.drop_duplicates("Epoch", keep="last")
     col = "AverageEpRet" if "AverageEpRet" in df else "EpRet"
     n = max(1, int(round(len(df) * TAIL_FRAC)))
     tail = df[col].tail(n)
@@ -77,11 +99,12 @@ def main():
         ours = sum(seeds) / len(seeds)
         ref = refs.get(key)
         name = pattern.split("/")[0].replace("_fast", "")
-        rows.append((name, "/".join(key[1:]), ref, ours, len(seeds), steps))
+        rows.append((name, "/".join(key[1:]), ref, ours, len(seeds), steps,
+                     key[0]))
 
-    lines = [f"{'run':34s} {'ref variant':16s} {'ref':>7s} {'ours':>7s} "
+    lines = [f"{'run':40s} {'ref variant':16s} {'ref':>7s} {'ours':>7s} "
              f"{'seeds':>5s} {'steps':>9s}  verdict"]
-    for name, key, ref, ours, n, steps in rows:
+    for name, key, ref, ours, n, steps, exp in rows:
         if ref is None:
             verdict = "-"
         elif ours >= ref:
@@ -92,7 +115,12 @@ def main():
             verdict = f"flat-ref gap {ours - ref:+.1f}"
         else:
             verdict = f"{100 * ours / ref:.0f}% of ref"
-        lines.append(f"{name:34s} {key:16s} {ref:7.1f} {ours:7.1f} "
+        # Unequal-budget comparisons carry the disclosure in the verdict
+        # itself, not just the steps column.
+        budget = REF_BUDGET.get(exp)
+        if budget and steps > budget * 1.02 and ref is not None:
+            verdict += f" @{steps / budget:.1f}x budget"
+        lines.append(f"{name:40s} {key:16s} {ref:7.1f} {ours:7.1f} "
                      f"{n:5d} {steps:9d}  {verdict}")
     out = "\n".join(lines) + "\n"
     print(out, end="")
