@@ -43,6 +43,10 @@ import os
 # batch growth amortizes the fixed per-step latency across more edges.
 # ``BENCH_B`` overrides for A/B sweeps (benchmarks/bench_batch_sweep.py).
 B = int(os.environ.get("BENCH_B", 32))
+# BPTT schedule (algos/core.py): 'per_step' scans the full agent forward;
+# 'hoisted' batches the h-independent GAT encoder over all T+1 timesteps and
+# scans only comm/GRU/head.  Hardware A/B: benchmarks/bench_hoist_ab.py.
+BPTT = os.environ.get("BENCH_BPTT", "per_step")
 T = 50
 STATE_DIM = A * 2 + M * 4
 EDGES_PER_UPDATE = B * (2 * T + 1) * A * (M + K + A)
@@ -57,7 +61,8 @@ TRAIN_KW = dict(o="gnn", c="tarmac", hidden_size=HID, msg_size=MSG, key_size=KEY
                 # this exact shape (benchmarks/bench_train_swarm.py, bf16):
                 # 24.1 ms/update vs 36.5 dense = 1.51x, losses matching to
                 # 3 decimals.  See benchmarks/RESULTS.md round-2 section.
-                gat_backend="pallas_fused_mxu")
+                gat_backend="pallas_fused_mxu",
+                bptt_encoder=BPTT)
 
 
 def log(*a):

@@ -240,3 +240,77 @@ def test_checkpoint_orbax_roundtrip(tmp_path):
                                   tree["model_state_dict"]["w"])
     np.testing.assert_array_equal(back["model_state_dict"]["nested"]["b"],
                                   tree["model_state_dict"]["nested"]["b"])
+
+
+def test_hoisted_encoder_bptt_matches_per_step_apply():
+    """The update's batched-over-time encoder + step-only scan must reproduce
+    the straightforward per-step ``agent.apply`` unroll exactly (same math,
+    same RNG threading) — the hoist is a scheduling change, not a model one."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = dict(MADRQN_CONFIG)
+    cfg.update(o="gnn", c="disc", mixer=True, double_q=True, dueling=True,
+               hidden_size=16, msg_size=8, key_size=4, n_heads=4,
+               batch_size=3, max_seq_len=5, bptt_encoder="hoisted")
+    args = check_args_sanity(SN(**cfg))
+    A, M, K = 3, 6, 2
+    env_info = dict(obs_shape=dict(agent=2, gt=4, ubs=2), state_shape=A * 2 + M * 4,
+                    n_actions=5, n_agents=A, episode_limit=5)
+    learner = MultiAgentQLearner(env_info, args, seed=0)
+
+    rng = np.random.default_rng(0)
+    B, T = args.batch_size, 5
+    obs = {
+        "agent": rng.normal(size=(B, T + 1, A, 2)).astype(np.float32),
+        "gt": np.concatenate([(rng.random((B, T + 1, A, M, 1)) > 0.4).astype(np.float32),
+                              rng.normal(size=(B, T + 1, A, M, 4)).astype(np.float32)], -1),
+        "ubs": np.concatenate([(rng.random((B, T + 1, A, K, 1)) > 0.4).astype(np.float32),
+                               rng.normal(size=(B, T + 1, A, K, 2)).astype(np.float32)], -1),
+        "adj": np.ones((B, T + 1, A, A), dtype=bool),
+    }
+    batch = dict(
+        obs=obs,
+        h=np.zeros((B, 2, A, 16), np.float32),
+        state=rng.normal(size=(B, T + 1, env_info["state_shape"])).astype(np.float32),
+        act=rng.integers(5, size=(B, T, A)),
+        rew=rng.normal(size=(B, T, 1)).astype(np.float32),
+        done=np.zeros((B, T), np.float32),
+    )
+    batch = jax.tree_util.tree_map(jnp.asarray, batch)
+    key = jax.random.PRNGKey(7)
+
+    loss_new, _ = learner._loss_fn(learner.params, learner.target_params, batch, key)
+
+    # Reference: per-step agent.apply unroll (the pre-hoist formulation).
+    T_ = learner.max_seq_len
+    obs_tm = jax.tree_util.tree_map(lambda x: jnp.moveaxis(x, 1, 0), batch["obs"])
+    acts = jnp.moveaxis(batch["act"], 1, 0).astype(jnp.int32)
+    rews = jnp.moveaxis(batch["rew"], 1, 0)
+    dones = jnp.moveaxis(batch["done"], 1, 0)[..., None]
+
+    def per_step_unroll(p, h, k, obs_seq):
+        def step(carry, obs_t):
+            h, k = carry
+            k, sub = jax.random.split(k)
+            q, h = learner.agent.apply(p, obs_t, h, sub)
+            return (h, k), q
+        (_, _), qs = jax.lax.scan(step, (h, k), obs_seq)
+        return qs
+
+    key_pol, key_targ = jax.random.split(key)
+    agent_out = per_step_unroll(learner.params["net"], batch["h"][:, 0], key_pol, obs_tm)
+    obs_next = jax.tree_util.tree_map(lambda x: x[1:], obs_tm)
+    target_out = per_step_unroll(learner.target_params["net"], batch["h"][:, 1],
+                                 key_targ, obs_next)
+
+    qvals = jnp.take_along_axis(agent_out[:T_], acts[..., None], axis=-1)[..., 0]
+    next_acts = jnp.argmax(agent_out[1:], axis=-1)
+    next_vals = jnp.take_along_axis(target_out, next_acts[..., None], axis=-1)[..., 0]
+    states = jnp.moveaxis(batch["state"], 1, 0)
+    qvals = learner.mixer.apply(learner.params["mixer"], qvals, states[:T_])
+    next_vals = learner.mixer.apply(learner.target_params["mixer"], next_vals, states[1:])
+    target_q = rews + args.gamma * (1.0 - dones) * next_vals
+    loss_ref = jnp.mean(jnp.square(qvals - jnp.broadcast_to(target_q, qvals.shape)))
+
+    np.testing.assert_allclose(float(loss_new), float(loss_ref), rtol=2e-5)

@@ -74,6 +74,11 @@ class RecurrentQLearner:
         self.compute_dtype = (jnp.bfloat16
                               if getattr(args, "compute_dtype", "float32") == "bfloat16"
                               else jnp.float32)
+        # BPTT schedule: 'per_step' scans full agent.apply per timestep;
+        # 'hoisted' batches the h-independent encoder over all timesteps and
+        # scans only the recurrent part (identical math; see _loss_fn).
+        self.bptt_encoder = getattr(args, "bptt_encoder", "per_step")
+        assert self.bptt_encoder in ("per_step", "hoisted"), self.bptt_encoder
 
         key = jax.random.PRNGKey(seed)
         key, k_net, k_mix = jax.random.split(key, 3)
@@ -180,26 +185,62 @@ class RecurrentQLearner:
         net_t = cast_floating(target_params["net"], cdt)
         obs = cast_floating(obs, cdt)
 
-        def pol_step(carry, obs_t):
-            h, k = carry
-            k, sub = jax.random.split(k)
-            q, h = self.agent.apply(net_p, obs_t, h, sub)
-            return (h, k), q
+        if self.bptt_encoder == "hoisted":
+            # Hoist the h-independent observation encoder out of the
+            # sequential unrolls: one batched call over ALL T+1 timesteps
+            # (leading dims [T+1, B] flow straight through the masked-
+            # attention/MLP encoders), so the dominant GATv2 work runs as a
+            # single large MXU program instead of T+1 small per-step calls.
+            # Only the recurrent comm/GRU/head (``agent.step``) stays inside
+            # the scan.  Math and per-step RNG threading are identical to the
+            # per-step path (regression-pinned in tests/test_learner.py);
+            # which schedule is faster is hardware-dependent — large batched
+            # contractions win on the MXU, the per-step path's smaller
+            # working set wins on cache-based hosts.
+            adj = obs.get("adj") if isinstance(obs, dict) else None
+            obs_next = jax.tree_util.tree_map(lambda v: v[1:], obs)
+            x_pol = self.agent.encode(net_p, obs)                     # [T+1, B, A, H]
+            x_targ = self.agent.encode(net_t, obs_next)               # [T, B, A, H]
 
-        key_pol, key_targ = jax.random.split(key)
-        (_, _), agent_out = jax.lax.scan(
-            pol_step, (h0.astype(cdt), key_pol), obs)                 # [T+1, B, A, n_act]
+            def unroll(x_seq, adj_seq, h_init, k, p):
+                def step(carry, inp):
+                    h, k = carry
+                    k, sub = jax.random.split(k)
+                    q, h = self.agent.step(p, inp["x"], inp.get("adj"), h, sub)
+                    return (h, k), q
+
+                xs = {"x": x_seq}
+                if adj_seq is not None:
+                    xs["adj"] = adj_seq
+                (_, _), q_seq = jax.lax.scan(step, (h_init.astype(cdt), k), xs)
+                return q_seq
+
+            key_pol, key_targ = jax.random.split(key)
+            agent_out = unroll(x_pol, adj, h0, key_pol, net_p)        # [T+1, B, A, n_act]
+            adj_next = None if adj is None else adj[1:]
+            target_out = unroll(x_targ, adj_next, h_targ0, key_targ, net_t)
+        else:
+            def pol_step(carry, obs_t):
+                h, k = carry
+                k, sub = jax.random.split(k)
+                q, h = self.agent.apply(net_p, obs_t, h, sub)
+                return (h, k), q
+
+            key_pol, key_targ = jax.random.split(key)
+            (_, _), agent_out = jax.lax.scan(
+                pol_step, (h0.astype(cdt), key_pol), obs)             # [T+1, B, A, n_act]
+
+            def targ_step(carry, obs_t):
+                h, k = carry
+                k, sub = jax.random.split(k)
+                q, h = self.agent.apply(net_t, obs_t, h, sub)
+                return (h, k), q
+
+            obs_next = jax.tree_util.tree_map(lambda x: x[1:], obs)
+            (_, _), target_out = jax.lax.scan(
+                targ_step, (h_targ0.astype(cdt), key_targ), obs_next)
+
         agent_out = agent_out.astype(jnp.float32)
-
-        def targ_step(carry, obs_t):
-            h, k = carry
-            k, sub = jax.random.split(k)
-            q, h = self.agent.apply(net_t, obs_t, h, sub)
-            return (h, k), q
-
-        obs_next = jax.tree_util.tree_map(lambda x: x[1:], obs)
-        (_, _), target_out = jax.lax.scan(
-            targ_step, (h_targ0.astype(cdt), key_targ), obs_next)
         target_out = jax.lax.stop_gradient(target_out).astype(jnp.float32)  # [T, B, A, n_act]
 
         qvals = jnp.take_along_axis(agent_out[:T], acts[..., None], axis=-1)[..., 0]

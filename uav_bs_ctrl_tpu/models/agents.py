@@ -18,6 +18,14 @@ Interface: ``init(key) -> params``; ``apply(params, obs, h, key=None) ->
 'agent' flat features, optional 'gt'/'ubs' padded neighborhoods (flag column
 0 = mask), optional 'adj' talk adjacency [..., A, A].  ``key`` is only
 consumed by DiscreteComm's Gumbel sampling.
+
+TPU-first split: every agent also exposes ``encode(params, obs) -> x`` (the
+h-independent observation encoding — MLP or GATv2 attention) and
+``step(params, x, adj, h, key) -> (q, h')`` (the recurrent comm/GRU/head
+part), with ``apply = step . encode``.  BPTT exploits this: the encoder has
+no time dependency, so the update batches it over ALL timesteps in one MXU
+call and scans only ``step`` (see ``algos/core.py _loss_fn``) — the
+dominant GAT work leaves the sequential scan entirely.
 """
 
 import jax
@@ -54,11 +62,16 @@ class RnnAgent:
     def init_hidden(self):
         return jnp.zeros((1, self.hidden))
 
-    def apply(self, p, obs, h, key=None):
-        x = mlp(p["enc"], obs["agent"] if isinstance(obs, dict) else obs)
+    def encode(self, p, obs):
+        return mlp(p["enc"], obs["agent"] if isinstance(obs, dict) else obs)
+
+    def step(self, p, x, adj, h, key=None):
         h = gru(p["rnn"], x, h)
         q = self.f_out.apply(p["f_out"], h) if self.dueling else linear(p["f_out"], h)
         return q, h
+
+    def apply(self, p, obs, h, key=None):
+        return self.step(p, self.encode(p, obs), None, h, key)
 
 
 class GnnAgent:
@@ -100,14 +113,20 @@ class GnnAgent:
     def init_hidden(self):
         return jnp.zeros((1, self.hidden))
 
-    def apply(self, p, obs, h, key=None):
-        x = self.enc.apply(p["enc"], obs)   # [..., A, hidden]
+    def encode(self, p, obs):
+        return self.enc.apply(p["enc"], obs)   # [..., A, hidden]
+
+    def step(self, p, x, adj, h, key=None):
         if self.f_comm is not None:
-            h = self.f_comm.apply(p["f_comm"], obs["adj"], x, h, key)
+            h = self.f_comm.apply(p["f_comm"], adj, x, h, key)
         else:
             h = gru(p["rnn"], x, h)
         q = self.f_out.apply(p["f_out"], h) if self.dueling else linear(p["f_out"], h)
         return q, h
+
+    def apply(self, p, obs, h, key=None):
+        adj = obs.get("adj") if isinstance(obs, dict) else None
+        return self.step(p, self.encode(p, obs), adj, h, key)
 
 
 class DrqnGnnAgent:
@@ -138,11 +157,16 @@ class DrqnGnnAgent:
     def init_hidden(self):
         return jnp.zeros((1, self.hidden))
 
-    def apply(self, p, obs, h, key=None):
+    def encode(self, p, obs):
         mask = jnp.ones(obs["gt"].shape[:-1], dtype=bool)
-        x = gatv2(p["enc"], obs["gt"], obs["agent"], mask, self.n_heads)
+        return gatv2(p["enc"], obs["gt"], obs["agent"], mask, self.n_heads)
+
+    def step(self, p, x, adj, h, key=None):
         h = gru(p["rnn"], x, h)
         return linear(p["f_out"], h), h
+
+    def apply(self, p, obs, h, key=None):
+        return self.step(p, self.encode(p, obs), None, h, key)
 
 
 def build_agent(obs_shape, n_actions, args):
