@@ -47,6 +47,9 @@ B = int(os.environ.get("BENCH_B", 32))
 # 'hoisted' batches the h-independent GAT encoder over all T+1 timesteps and
 # scans only comm/GRU/head.  Hardware A/B: benchmarks/bench_hoist_ab.py.
 BPTT = os.environ.get("BENCH_BPTT", "per_step")
+# Scan unroll factor for the BPTT unrolls (latency-bound scan; see
+# algos/core.py bptt_unroll).
+UNROLL = int(os.environ.get("BENCH_UNROLL", 1))
 T = 50
 STATE_DIM = A * 2 + M * 4
 EDGES_PER_UPDATE = B * (2 * T + 1) * A * (M + K + A)
@@ -62,7 +65,7 @@ TRAIN_KW = dict(o="gnn", c="tarmac", hidden_size=HID, msg_size=MSG, key_size=KEY
                 # 24.1 ms/update vs 36.5 dense = 1.51x, losses matching to
                 # 3 decimals.  See benchmarks/RESULTS.md round-2 section.
                 gat_backend="pallas_fused_mxu",
-                bptt_encoder=BPTT)
+                bptt_encoder=BPTT, bptt_unroll=UNROLL)
 
 
 def log(*a):

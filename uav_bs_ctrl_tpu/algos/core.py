@@ -79,6 +79,11 @@ class RecurrentQLearner:
         # scans only the recurrent part (identical math; see _loss_fn).
         self.bptt_encoder = getattr(args, "bptt_encoder", "per_step")
         assert self.bptt_encoder in ("per_step", "hoisted"), self.bptt_encoder
+        # lax.scan unroll factor for the BPTT unrolls: the flagship update is
+        # latency-bound on per-step launch/fusion boundaries (hardware A/B in
+        # benchmarks/RESULTS.md), and unrolling lets XLA fuse and pipeline
+        # across timesteps.  1 = plain scan.
+        self.bptt_unroll = int(getattr(args, "bptt_unroll", 1))
 
         key = jax.random.PRNGKey(seed)
         key, k_net, k_mix = jax.random.split(key, 3)
@@ -212,7 +217,8 @@ class RecurrentQLearner:
                 xs = {"x": x_seq}
                 if adj_seq is not None:
                     xs["adj"] = adj_seq
-                (_, _), q_seq = jax.lax.scan(step, (h_init.astype(cdt), k), xs)
+                (_, _), q_seq = jax.lax.scan(step, (h_init.astype(cdt), k), xs,
+                                             unroll=self.bptt_unroll)
                 return q_seq
 
             key_pol, key_targ = jax.random.split(key)
@@ -228,7 +234,8 @@ class RecurrentQLearner:
 
             key_pol, key_targ = jax.random.split(key)
             (_, _), agent_out = jax.lax.scan(
-                pol_step, (h0.astype(cdt), key_pol), obs)             # [T+1, B, A, n_act]
+                pol_step, (h0.astype(cdt), key_pol), obs,
+                unroll=self.bptt_unroll)                              # [T+1, B, A, n_act]
 
             def targ_step(carry, obs_t):
                 h, k = carry
@@ -238,7 +245,8 @@ class RecurrentQLearner:
 
             obs_next = jax.tree_util.tree_map(lambda x: x[1:], obs)
             (_, _), target_out = jax.lax.scan(
-                targ_step, (h_targ0.astype(cdt), key_targ), obs_next)
+                targ_step, (h_targ0.astype(cdt), key_targ), obs_next,
+                unroll=self.bptt_unroll)
 
         agent_out = agent_out.astype(jnp.float32)
         target_out = jax.lax.stop_gradient(target_out).astype(jnp.float32)  # [T, B, A, n_act]
