@@ -314,3 +314,48 @@ def test_hoisted_encoder_bptt_matches_per_step_apply():
     loss_ref = jnp.mean(jnp.square(qvals - jnp.broadcast_to(target_q, qvals.shape)))
 
     np.testing.assert_allclose(float(loss_new), float(loss_ref), rtol=2e-5)
+
+
+def test_merged_bptt_matches_per_step():
+    """bptt_encoder='merged' (policy+target stacked in ONE scan) must equal
+    the two-scan schedule in loss and gradients — a scheduling change only."""
+    import jax
+    import jax.numpy as jnp
+
+    def mk(sched):
+        cfg = dict(MADRQN_CONFIG)
+        cfg.update(o="gnn", c="tarmac", mixer=True, double_q=True, dueling=True,
+                   hidden_size=16, msg_size=8, key_size=4, n_heads=4,
+                   batch_size=3, max_seq_len=5, bptt_encoder=sched)
+        args = check_args_sanity(SN(**cfg))
+        env_info = dict(obs_shape=dict(agent=2, gt=4, ubs=2),
+                        state_shape=3 * 2 + 6 * 4, n_actions=5, n_agents=3,
+                        episode_limit=5)
+        return MultiAgentQLearner(env_info, args, seed=0)
+
+    rng = np.random.default_rng(0)
+    B, T, A, M, K = 3, 5, 3, 6, 2
+    obs = {
+        "agent": rng.normal(size=(B, T + 1, A, 2)).astype(np.float32),
+        "gt": np.concatenate([(rng.random((B, T + 1, A, M, 1)) > 0.4).astype(np.float32),
+                              rng.normal(size=(B, T + 1, A, M, 4)).astype(np.float32)], -1),
+        "ubs": np.concatenate([(rng.random((B, T + 1, A, K, 1)) > 0.4).astype(np.float32),
+                               rng.normal(size=(B, T + 1, A, K, 2)).astype(np.float32)], -1),
+        "adj": np.ones((B, T + 1, A, A), dtype=bool),
+    }
+    batch = jax.tree_util.tree_map(jnp.asarray, dict(
+        obs=obs, h=np.zeros((B, 2, A, 16), np.float32),
+        state=rng.normal(size=(B, T + 1, 3 * 2 + 6 * 4)).astype(np.float32),
+        act=rng.integers(5, size=(B, T, A)),
+        rew=rng.normal(size=(B, T, 1)).astype(np.float32),
+        done=np.zeros((B, T), np.float32)))
+    key = jax.random.PRNGKey(9)
+
+    lp, lm = mk("per_step"), mk("merged")
+    v1 = float(lp._loss_fn(lp.params, lp.target_params, batch, key)[0])
+    v2 = float(lm._loss_fn(lm.params, lm.target_params, batch, key)[0])
+    np.testing.assert_allclose(v2, v1, rtol=1e-5)
+    g1 = jax.grad(lambda p: lp._loss_fn(p, lp.target_params, batch, key)[0])(lp.params)
+    g2 = jax.grad(lambda p: lm._loss_fn(p, lm.target_params, batch, key)[0])(lm.params)
+    jax.tree_util.tree_map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4), g1, g2)

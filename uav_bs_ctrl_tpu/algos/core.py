@@ -78,7 +78,8 @@ class RecurrentQLearner:
         # 'hoisted' batches the h-independent encoder over all timesteps and
         # scans only the recurrent part (identical math; see _loss_fn).
         self.bptt_encoder = getattr(args, "bptt_encoder", "per_step")
-        assert self.bptt_encoder in ("per_step", "hoisted"), self.bptt_encoder
+        assert self.bptt_encoder in ("per_step", "hoisted", "merged"), \
+            self.bptt_encoder
         # lax.scan unroll factor for the BPTT unrolls: the flagship update is
         # latency-bound on per-step launch/fusion boundaries (hardware A/B in
         # benchmarks/RESULTS.md), and unrolling lets XLA fuse and pipeline
@@ -225,6 +226,39 @@ class RecurrentQLearner:
             agent_out = unroll(x_pol, adj, h0, key_pol, net_p)        # [T+1, B, A, n_act]
             adj_next = None if adj is None else adj[1:]
             target_out = unroll(x_targ, adj_next, h_targ0, key_targ, net_t)
+        elif self.bptt_encoder == "merged":
+            # Merge the policy and target unrolls into ONE scan with the two
+            # networks stacked on a leading axis (vmapped apply): the update
+            # is latency-bound on its sequential kernel chain (hardware A/Bs
+            # in RESULTS.md: neither hoisting the encoder nor scan unrolling
+            # helps), so halve the number of sequential steps — T+1 instead
+            # of (T+1)+T — and double per-kernel work at unchanged kernel
+            # count.  The target slice processes obs[t+1] at step t (its
+            # final step re-processes obs[T] and is dropped); per-net RNG
+            # chains match the two-scan schedule exactly.
+            stacked = jax.tree_util.tree_map(lambda a, b: jnp.stack([a, b]),
+                                             net_p, net_t)
+            obs_tgt = jax.tree_util.tree_map(
+                lambda v: jnp.concatenate([v[1:], v[-1:]], axis=0), obs)
+            obs_stack = jax.tree_util.tree_map(
+                lambda a, b: jnp.stack([a, b], axis=1), obs, obs_tgt)  # [T+1, 2, ...]
+            h_stack = jnp.stack([h0.astype(cdt), h_targ0.astype(cdt)])
+
+            vapply = jax.vmap(self.agent.apply)
+
+            def both_step(carry, obs_t):
+                h, k_pol, k_tgt = carry
+                k_pol, sub_p = jax.random.split(k_pol)
+                k_tgt, sub_t = jax.random.split(k_tgt)
+                q, h = vapply(stacked, obs_t, h, jnp.stack([sub_p, sub_t]))
+                return (h, k_pol, k_tgt), q
+
+            key_pol, key_targ = jax.random.split(key)
+            _, q_seq = jax.lax.scan(
+                both_step, (h_stack, key_pol, key_targ), obs_stack,
+                unroll=self.bptt_unroll)                              # [T+1, 2, B, A, n_act]
+            agent_out = q_seq[:, 0]
+            target_out = q_seq[:T, 1]
         else:
             def pol_step(carry, obs_t):
                 h, k = carry
