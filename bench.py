@@ -42,7 +42,13 @@ import os
 # sequential scan steps of small ops; benchmarks/RESULTS.md roofline):
 # batch growth amortizes the fixed per-step latency across more edges.
 # ``BENCH_B`` overrides for A/B sweeps (benchmarks/bench_batch_sweep.py).
-B = int(os.environ.get("BENCH_B", 32))
+# Default 256: the round-3 batch sweep (benchmarks/bench_batch_sweep.py, real
+# chip) measured 69.6M (B=32) -> 76.0M (64) -> 77.8M (128) -> 78.4M (256)
+# edges/s — the latency-bound scan amortizes with batch and saturates ~78M.
+# Scheduling A/Bs at this shape all LOST on hardware (hoisted encoder,
+# scan unroll 4/8, merged policy+target scan — benchmarks/RESULTS.md), so
+# B growth is the lever and 256 the measured winner.
+B = int(os.environ.get("BENCH_B", 256))
 # BPTT schedule (algos/core.py): 'per_step' scans the full agent forward;
 # 'hoisted' batches the h-independent GAT encoder over all T+1 timesteps and
 # scans only comm/GRU/head.  Hardware A/B: benchmarks/bench_hoist_ab.py.
