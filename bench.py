@@ -161,10 +161,18 @@ def bench_torch_cpu(n_timed=3):
     all cores), torch version and 1-min load average are logged, and the
     number is only comparable across runs on a quiet host — see BASELINE.md
     for the recorded methodology.
+
+    The baseline runs at its own feasible batch, ``Bb = min(B, 32)``: torch
+    autograd materializes every per-step GAT intermediate on the host (~10 GB
+    at B=256, which swaps/dies), while its edges/s is batch-INSENSITIVE
+    (compute-bound).  Comparing each stack at its own best batch is the fair
+    throughput ratio; the returned value is edges/s, normalized by Bb.
     """
     import os
     import torch
     import torch.nn.functional as F
+
+    Bb = min(B, 32)
 
     n_threads = int(os.environ.get("BENCH_TORCH_THREADS", os.cpu_count()))
     torch.set_num_threads(n_threads)
@@ -217,7 +225,7 @@ def bench_torch_cpu(n_timed=3):
             alpha = torch.softmax(scores, dim=-2)
             c = torch.einsum("bsd,bsm->bdm", alpha, v)
             h = self.f_udt(torch.cat([x, c], -1).view(-1, HID + MSG),
-                           h.reshape(-1, HID)).view(B, A, HID)
+                           h.reshape(-1, HID)).view(Bb, A, HID)
             adv = self.adv(h)
             return self.v(h) + adv - adv.mean(-1, keepdim=True), h
 
@@ -228,16 +236,16 @@ def bench_torch_cpu(n_timed=3):
     rng = np.random.default_rng(0)
     obs_seq = []
     for t in range(T + 1):
-        o = synth_obs(rng, (B,))
+        o = synth_obs(rng, (Bb,))
         o = {k: torch.as_tensor(v) for k, v in o.items()}
         o["adj"] = o["adj"].bool()
         obs_seq.append(o)
-    acts = torch.randint(N_ACT, (T, B, A, 1))
-    rews = torch.randn(T, B, A)
+    acts = torch.randint(N_ACT, (T, Bb, A, 1))
+    rews = torch.randn(T, Bb, A)
 
     def one_update():
-        h = torch.zeros(B, A, HID)
-        h_targ = torch.zeros(B, A, HID)
+        h = torch.zeros(Bb, A, HID)
+        h_targ = torch.zeros(Bb, A, HID)
         agent_out, target_out = [], []
         for t in range(T):
             q, h = policy(obs_seq[t], h)
@@ -265,7 +273,7 @@ def bench_torch_cpu(n_timed=3):
         one_update()
     dt = time.perf_counter() - t0
     per_update = dt / n_timed
-    edges_per_s = EDGES_PER_UPDATE / per_update
+    edges_per_s = (EDGES_PER_UPDATE * Bb // B) / per_update
     log(f"torch-CPU: {n_timed} updates in {dt:.3f}s -> {per_update * 1e3:.0f} ms/update, "
         f"{edges_per_s:,.0f} edges/s")
     return edges_per_s
