@@ -120,8 +120,10 @@ def main():
         # Unequal-budget comparisons carry the disclosure in the verdict
         # itself, not just the steps column.
         budget = REF_BUDGET.get(exp)
+        # Two-decimal rendering so a 1.02-1.04x run cannot display as
+        # "@1.0x budget" (a disclosure that reads as no extra budget).
         if budget and steps > budget * 1.02 and ref is not None:
-            verdict += f" @{steps / budget:.1f}x budget"
+            verdict += f" @{steps / budget:.2f}x budget"
         lines.append(f"{name:40s} {key:16s} {ref:7.1f} {ours:7.1f} "
                      f"{n:5d} {steps:9d}  {verdict}")
     out = "\n".join(lines) + "\n"

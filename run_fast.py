@@ -125,6 +125,12 @@ def _maybe_resume(trainer, output_dir, eps_fn):
     import re
     ckpts = glob.glob(osp.join(output_dir or "", "checkpoint_epoch*.pt"))
     if not ckpts:
+        # Visible in supervisor logs: a child that crashes before its first
+        # checkpoint makes every --resume retry a fresh start — repeated
+        # identical fresh runs would otherwise be indistinguishable from
+        # progress.
+        print(f"[run_fast] no checkpoint found in {output_dir!r}; "
+              f"starting fresh", flush=True)
         return 0, 0
     latest = max(ckpts, key=lambda p: int(re.search(r"epoch(\d+)", p).group(1)))
     stamp = trainer.learner.load_checkpoint(latest)

@@ -107,6 +107,50 @@ def test_run_fast_exp1_driver_end_to_end(tmp_path):
     assert osp.exists(str(tmp_path / "e1" / "checkpoint_epoch2.pt"))
 
 
+@pytest.mark.parametrize("agent", ["rnn", "gnn"])
+def test_fused_drqn_checkpoint_loads_in_classic_learner(tmp_path, agent):
+    """Checkpoints from the fused exp1 path load into the classic DRQN learner.
+
+    Mirrors the madrqn interchange test
+    (``test_vec_train.py::test_vec_checkpoint_loads_in_classic_learner``) for
+    the single-agent path: same checkpoint schema (reference
+    ``algos/drqn/learner.py:128-150``), greedy acting works on the restored
+    params in the host-loop driver's learner.
+    """
+    import os.path as osp
+    from types import SimpleNamespace as SN
+    from run_fast import train_fast_exp1
+    from uav_bs_ctrl_tpu.algos.common import check_args_sanity
+    from uav_bs_ctrl_tpu.algos.drqn.config import DEFAULT_CONFIG
+    from uav_bs_ctrl_tpu.algos.drqn.learner import QLearner
+    from uav_bs_ctrl_tpu.algos.drqn.wrappers import make_env
+    from uav_bs_ctrl_tpu.envs.subs_cov import SingleUbsCoverageEnv
+
+    kw = dict(hidden_size=16, batch_size=4, max_seq_len=5, replay_size=64,
+              steps_per_epoch=80, epochs=1, update_after=40, decay_steps=200,
+              save_freq=1, device="cpu", agent=agent)
+    env_kw = dict(n_grps=2, gts_per_grp=2, episode_limit=20)
+    train_fast_exp1(env_kw, seed=0, train_overrides=kw,
+                    logger_kwargs=dict(output_dir=str(tmp_path / "x"),
+                                       exp_name="x"),
+                    n_worlds=2, n_layouts=2)
+    ckpt = osp.join(str(tmp_path / "x"), "checkpoint_epoch1.pt")
+    assert osp.exists(ckpt)
+
+    cfg = dict(DEFAULT_CONFIG)
+    cfg.update(kw)
+    args = check_args_sanity(SN(**cfg))
+    np.random.seed(0)
+    env = make_env(lambda: SingleUbsCoverageEnv(record=False, **env_kw), args)
+    classic = QLearner(env.get_env_info(), args, seed=9)
+    stamp = classic.load_checkpoint(ckpt)
+    assert stamp["epoch"] == 1
+    # Greedy acting works with the loaded params.
+    o, h = env.reset(), classic.init_hidden()
+    a, h2 = classic.act(o, h, 0.0)
+    assert 0 <= int(np.asarray(a).reshape(-1)[0]) < env.get_env_info()["n_actions"]
+
+
 def test_run_fast_resume_appends(tmp_path):
     """--resume continues from the newest checkpoint and appends to the log."""
     import os.path as osp

@@ -242,8 +242,15 @@ def test_graph_parallel_training_step_matches_dense():
                                    atol=5e-5, rtol=1e-3)
 
 
-def test_graph_parallel_fallback_warns_once():
-    """Silent dense fallback is no longer silent: one RuntimeWarning per config."""
+def test_graph_parallel_pads_nondivisible_slots():
+    """Non-divisible slot counts run DISTRIBUTED via masked padding (exact).
+
+    Round-3 behavior (silent-ish dense fallback for e.g. the 3-slot 'near'
+    relation) is gone: the slot axis pads to the next multiple of the gp axis
+    with mask=False slots, which contribute exactly nothing to the masked
+    softmax, so the result matches dense bit-for-bit up to reduction order —
+    and NO fallback warning fires.
+    """
     import warnings
 
     import jax.numpy as jnp
@@ -251,23 +258,29 @@ def test_graph_parallel_fallback_warns_once():
     from uav_bs_ctrl_tpu.models import encoders
     from uav_bs_ctrl_tpu.parallel.graph_parallel import set_graph_parallel_mesh
 
-    p = encoders.gatv2_init(jax.random.PRNGKey(0), 5, 3, 4, 8)
-    x_src = jnp.zeros((2, 7, 5))  # 7 slots: not divisible by the 8-way axis
-    x_dst = jnp.zeros((2, 3))
-    mask = jnp.ones((2, 7), bool)
+    rng = np.random.default_rng(3)
+    N, M, H, F = 6, 7, 4, 8         # 7 slots: NOT divisible by the 8-way axis
+    p = encoders.gatv2_init(jax.random.PRNGKey(0), 5, 3, H, F)
+    x_src = jnp.asarray(rng.normal(size=(N, M, 5)).astype(np.float32))
+    x_dst = jnp.asarray(rng.normal(size=(N, 3)).astype(np.float32))
+    mask = jnp.asarray(rng.random((N, M)) > 0.4)
+    mask = mask.at[1].set(False)    # all-masked destination
+
+    dense = encoders.gatv2(p, x_src, x_dst, mask, H)
 
     mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("gp",))
     set_graph_parallel_mesh(mesh)
     try:
-        encoders._gp_fallback_warned.clear()
         with warnings.catch_warnings(record=True) as w:
             warnings.simplefilter("always")
-            encoders.gatv2(p, x_src, x_dst, mask, 4, backend="graph_parallel")
-            encoders.gatv2(p, x_src, x_dst, mask, 4, backend="graph_parallel")
-        msgs = [str(x.message) for x in w if x.category is RuntimeWarning]
-        assert len(msgs) == 1 and "not divisible" in msgs[0]
+            out = encoders.gatv2(p, x_src, x_dst, mask, H, backend="graph_parallel")
+        assert not [x for x in w if "fell back" in str(x.message)]
+        np.testing.assert_allclose(np.asarray(out), np.asarray(dense),
+                                   atol=2e-5, rtol=1e-5)
 
+        # The only remaining fallback cause: no registered mesh — still warns.
         set_graph_parallel_mesh(None)
+        encoders._gp_fallback_warned.clear()
         with warnings.catch_warnings(record=True) as w:
             warnings.simplefilter("always")
             encoders.gatv2(p, x_src, x_dst, mask, 4, backend="graph_parallel")
@@ -276,3 +289,97 @@ def test_graph_parallel_fallback_warns_once():
     finally:
         set_graph_parallel_mesh(None)
         encoders._gp_fallback_warned.clear()
+
+
+def test_tarmac_attention_graph_parallel_matches_dense():
+    """Source-agent-partitioned talk attention == dense masked softmax path.
+
+    Covers the padded case too (S=5 sources over an 8-way axis) and an
+    all-masked destination column (no in-edges -> zero message).
+    """
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from uav_bs_ctrl_tpu.ops.masked import masked_softmax
+    from uav_bs_ctrl_tpu.parallel.graph_parallel import tarmac_attention_graph_parallel
+
+    rng = np.random.default_rng(11)
+    N, S, D, K, M = 4, 5, 5, 8, 16
+    s = jnp.asarray(rng.normal(size=(N, S, K)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(N, D, K)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(N, S, M)).astype(np.float32))
+    adj = jnp.asarray(rng.random((N, S, D)) > 0.3)
+    adj = adj.at[0, :, 2].set(False)  # destination with zero in-edges
+
+    scores = jnp.einsum("nsk,ndk->nsd", s, q) / K
+    alpha = masked_softmax(scores, adj, axis=-2)
+    dense = jnp.einsum("nsd,nsm->ndm", alpha, v)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("gp",))
+    out = tarmac_attention_graph_parallel(s, q, v, adj, K, mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(dense),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_tarmac_comm_backend_training_step_matches_dense():
+    """FULL training step with comm_backend='graph_parallel': the talk-graph
+    attention runs source-partitioned through shard_map inside the
+    differentiated scan-BPTT update and reproduces the dense learner."""
+    import jax.numpy as jnp
+    from uav_bs_ctrl_tpu.parallel.graph_parallel import set_graph_parallel_mesh
+
+    A, T = 4, 3
+    obs_dim = 10
+    env_info = dict(obs_shape=obs_dim, state_shape=12, n_actions=5, n_agents=A,
+                    episode_limit=T)
+
+    def fill(learner, rng):
+        for _ in range(learner.batch_size):
+            for t in range(T):
+                def obs():
+                    return {"agent": rng.normal(size=(A, obs_dim)).astype(np.float32),
+                            "adj": rng.random((A, A)) > 0.3}
+                learner.cache(
+                    obs=obs(), h=rng.normal(size=(A, 32)).astype(np.float32),
+                    state=rng.normal(size=(12,)).astype(np.float32),
+                    act=rng.integers(5, size=A), rew=rng.normal(size=A).astype(np.float32),
+                    next_obs=obs(), next_h=rng.normal(size=(A, 32)).astype(np.float32),
+                    next_state=rng.normal(size=(12,)).astype(np.float32),
+                    done=float(t == T - 1), bad_mask=float(t == T - 1))
+
+    def build(backend):
+        args = _args(o="mlp", c="tarmac", double_q=True, comm_backend=backend)
+        args.max_seq_len = T
+        learner = MultiAgentQLearner(env_info, args, seed=5)
+        fill(learner, np.random.default_rng(0))
+        return learner
+
+    key = jax.random.PRNGKey(9)
+
+    def run(learner):
+        batch = learner.buffer.sample(learner.batch_size,
+                                      rng=np.random.default_rng(2))
+        dev_batch = learner._batch_to_device(batch)
+        params, targets, opt_state, metrics = learner._update_jit(
+            jax.tree_util.tree_map(jnp.asarray, learner.params),
+            jax.tree_util.tree_map(jnp.asarray, learner.target_params),
+            learner.opt_state, dev_batch, key, jnp.float32(1.0))
+        return float(metrics["LossQ"]), params
+
+    loss_dense, params_dense = run(build("dense"))
+
+    mesh = make_mesh(8, mp=1, gp=8)
+    try:
+        from uav_bs_ctrl_tpu.parallel.graph_parallel import set_graph_parallel_mesh
+        set_graph_parallel_mesh(mesh, "gp")
+        learner_gp = build("graph_parallel")
+        distribute_learner(learner_gp, mesh, graph_parallel=True)
+        with mesh:
+            loss_gp, params_gp = run(learner_gp)
+    finally:
+        set_graph_parallel_mesh(None)
+
+    np.testing.assert_allclose(loss_gp, loss_dense, rtol=1e-5)
+    for xa, xb in zip(jax.tree_util.tree_leaves(params_dense),
+                      jax.tree_util.tree_leaves(params_gp)):
+        np.testing.assert_allclose(np.asarray(xb), np.asarray(xa),
+                                   atol=5e-5, rtol=1e-3)

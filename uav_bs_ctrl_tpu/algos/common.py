@@ -47,6 +47,10 @@ def check_args_sanity(args):
         raise ValueError(
             f"gat_backend must be one of 'dense'|'pallas'|'pallas_fused'|"
             f"'pallas_fused_mxu'|'graph_parallel', got {gat_backend!r}")
+    comm_backend = getattr(args, "comm_backend", "dense")
+    if comm_backend not in ("dense", "graph_parallel"):
+        raise ValueError(f"comm_backend must be 'dense' or 'graph_parallel', "
+                         f"got {comm_backend!r}")
     if gat_backend == "pallas":
         # flash_gat has no custom VJP; inside the differentiated update it
         # would fail (or worse, appear to work via a fallback).  Training

@@ -25,6 +25,10 @@ DEFAULT_CONFIG = {
     # flash_gat) is inference/benchmark-only and rejected by
     # check_args_sanity for training configs.  Unknown values raise.
     'gat_backend': 'dense',
+    # 'dense' | 'graph_parallel': partition the TarMAC talk-graph attention's
+    # source-agent axis over the registered 'gp' mesh axis (the A^2-edge comm
+    # relation; see parallel/graph_parallel.tarmac_attention_graph_parallel).
+    'comm_backend': 'dense',
     'compute_dtype': 'float32',  # 'bfloat16' -> mixed-precision net compute (MXU-native)
 
     # Basic training hyperparameters

@@ -119,6 +119,11 @@ class TarMAC:
         self.msg_size = args.msg_size
         self.key_size = args.key_size
         self.n_rounds = args.n_rounds
+        # 'dense' (default) or 'graph_parallel': partition the talk graph's
+        # source-agent axis over the registered mesh axis (the A^2-edge
+        # relation that grows quadratically with swarm size) — see
+        # ``parallel.graph_parallel.tarmac_attention_graph_parallel``.
+        self.backend = getattr(args, "comm_backend", "dense")
 
     def init(self, key):
         k_v, k_s, k_q, k_u = jax.random.split(key, 4)
@@ -135,11 +140,22 @@ class TarMAC:
             v = linear(p["f_val"], inputs)     # [..., S, msg]
             s = linear(p["f_sign"], inputs)    # [..., S, key]
             q = linear(p["f_que"], inputs)     # [..., D, key]
-            scores = jnp.einsum("...sk,...dk->...sd", s, q) / self.key_size  # SDDMM
-            alpha = masked_softmax(scores, adj, axis=-2)  # softmax over sources per dst
-            c = jnp.einsum("...sd,...sm->...dm", alpha, v)  # attention SpMM
+            c = self._attention(s, q, v, adj)
             h = gru(p["f_udt"], jnp.concatenate([x, c], axis=-1), h)
         return h
+
+    def _attention(self, s, q, v, adj):
+        """Per-destination softmax attention over valid source agents."""
+        if self.backend == "graph_parallel":
+            from uav_bs_ctrl_tpu.parallel.graph_parallel import (
+                get_graph_parallel_mesh, tarmac_attention_graph_parallel)
+            mesh, axis = get_graph_parallel_mesh()
+            if mesh is not None:
+                return tarmac_attention_graph_parallel(
+                    s, q, v, adj, self.key_size, mesh, axis=axis)
+        scores = jnp.einsum("...sk,...dk->...sd", s, q) / self.key_size  # SDDMM
+        alpha = masked_softmax(scores, adj, axis=-2)  # softmax over sources per dst
+        return jnp.einsum("...sd,...sm->...dm", alpha, v)  # attention SpMM
 
 
 class EdgeConv:

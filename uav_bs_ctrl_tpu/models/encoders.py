@@ -30,26 +30,25 @@ _SQRT2 = 1.4142135623730951
 _gp_fallback_warned = set()
 
 
-def _warn_graph_parallel_fallback(mesh, axis, n_slots):
+def _warn_graph_parallel_fallback(n_slots):
     """One-time warning when gat_backend='graph_parallel' routes to dense.
 
-    A mis-sized mesh (or no registered mesh) silently losing the distributed
-    path is invisible in run logs otherwise; warn once per (mesh, slot-count)
-    configuration.  This runs at TRACE time (the fallback is a static shape
-    decision), so the warning fires once per compilation, not per step.
+    Losing the distributed path silently is invisible in run logs otherwise;
+    warn once per slot count.  Since round 4 the only fallback cause is "no
+    mesh registered" — non-divisible slot counts are PADDED to the axis size
+    (masked pad slots contribute exactly nothing), so the distributed path
+    covers every relation including the tiny 'near' one.  This runs at TRACE
+    time (the fallback is a static decision), so the warning fires once per
+    compilation, not per step.
     """
-    key = (None if mesh is None else (tuple(mesh.shape.items()), axis), n_slots)
-    if key in _gp_fallback_warned:
+    if n_slots in _gp_fallback_warned:
         return
-    _gp_fallback_warned.add(key)
+    _gp_fallback_warned.add(n_slots)
     import warnings
-    if mesh is None:
-        why = "no mesh registered (parallel.graph_parallel.set_graph_parallel_mesh)"
-    else:
-        why = (f"slot count {n_slots} not divisible by mesh axis "
-               f"'{axis}' size {mesh.shape[axis]}")
-    warnings.warn(f"gat_backend='graph_parallel' fell back to dense: {why}",
-                  RuntimeWarning, stacklevel=3)
+    warnings.warn(
+        "gat_backend='graph_parallel' fell back to dense: no mesh registered "
+        "(parallel.graph_parallel.set_graph_parallel_mesh)",
+        RuntimeWarning, stacklevel=3)
 
 
 def gatv2_init(key, d_src, d_dst, n_heads, feats_per_head, dtype=jnp.float32):
@@ -104,16 +103,19 @@ def gatv2(p, x_src, x_dst, mask, n_heads, negative_slope=0.2, activation=jax.nn.
         # Edge-partitioned aggregation: the source-slot (GT-slot) axis is
         # sharded over the registered mesh axis; per-destination exchange is
         # two O(H)-scalar psums + one O(H*F) psum (see parallel/graph_parallel).
-        # Falls back to dense when no mesh is registered or the slot count
-        # does not divide the axis (e.g. the tiny 'near' relation).
+        # Slot counts that do not divide the axis are padded with masked slots
+        # (exact: masked slots contribute nothing to the softmax), so the
+        # distributed path covers every relation — including the tiny 'near'
+        # one.  Falls back to dense only when no mesh is registered.
         from uav_bs_ctrl_tpu.parallel.graph_parallel import (
-            get_graph_parallel_mesh, gatv2_graph_parallel)
+            get_graph_parallel_mesh, gatv2_graph_parallel, pad_slot_axis)
         mesh, axis = get_graph_parallel_mesh()
-        if mesh is not None and x_src.shape[-2] % mesh.shape[axis] == 0:
+        if mesh is not None:
+            x_src, mask = pad_slot_axis(x_src, mask, mesh.shape[axis])
             return gatv2_graph_parallel(p, x_src, x_dst, mask, n_heads, mesh,
                                         axis=axis, negative_slope=negative_slope,
                                         activation=activation)
-        _warn_graph_parallel_fallback(mesh, axis, x_src.shape[-2])
+        _warn_graph_parallel_fallback(x_src.shape[-2])
         return gatv2(p, x_src, x_dst, mask, n_heads, negative_slope,
                      activation, backend="dense")
     elif backend in ("pallas_fused", "pallas_fused_mxu"):

@@ -46,6 +46,26 @@ def get_graph_parallel_mesh():
     return _GP_MESH, _GP_AXIS
 
 
+def pad_slot_axis(x_src, mask, axis_size):
+    """Pad the slot axis (``x_src[..., M, d]`` / ``mask[..., M]``) to a
+    multiple of ``axis_size`` with masked (all-invalid) slots.
+
+    Exact by construction: padded slots carry ``mask=False`` and the masked
+    softmax/mean/max reductions give them zero weight, so the aggregate is
+    bitwise the unpadded result.  This is what lets the edge-partitioned path
+    cover relations whose slot count does not divide the mesh axis (e.g. the
+    'near' relation's ``n_ubs - 1`` slots).
+    """
+    m = x_src.shape[-2]
+    pad = (-m) % axis_size
+    if pad == 0:
+        return x_src, mask
+    x_src = jnp.pad(x_src, [(0, 0)] * (x_src.ndim - 2) + [(0, pad), (0, 0)])
+    mask = jnp.pad(mask, [(0, 0)] * (mask.ndim - 1) + [(0, pad)],
+                   constant_values=False)
+    return x_src, mask
+
+
 def gatv2_graph_parallel(p, x_src, x_dst, mask, n_heads, mesh: Mesh, axis="gp",
                          negative_slope=0.2, activation=jax.nn.relu):
     """Masked bipartite GATv2 with the source-slot axis sharded over ``axis``.
@@ -99,3 +119,62 @@ def gatv2_graph_parallel(p, x_src, x_dst, mask, n_heads, mesh: Mesh, axis="gp",
 
     rst = ft + (linear(p["res_fc"], x_dst) if "res_fc" in p else x_dst)
     return activation(rst) if activation is not None else rst
+
+
+def tarmac_attention_graph_parallel(s, q, v, adj, key_size, mesh: Mesh, axis="gp"):
+    """TarMAC talk-graph attention with the SOURCE-agent axis sharded.
+
+    The comm talk graph has A^2 edges — the relation that grows quadratically
+    with swarm size — so its edge partition is a shard of the source-agent
+    axis: each device holds S/gp source agents' signatures/values, computes
+    partial masked scores against the (replicated) queries, and the exact
+    global per-destination softmax is assembled with the same two-psum
+    log-sum-exp trick as :func:`gatv2_graph_parallel` (``:62-82`` pattern):
+    an all-gathered running max, a psum'd denominator, and a psum of the
+    partial attention-weighted value sums.  Per-destination traffic is O(1)
+    scalars + O(msg) output, independent of the source count.
+
+    s: [..., S, K] signatures, q: [..., D, K] queries, v: [..., S, M] values,
+    adj: [..., S, D] edge mask (src->dst) -> c: [..., D, M].  Numerically
+    identical to the dense path ``masked_softmax(s@q.T/key_size, adj, -2) @ v``
+    (reference TarMAC, ``gnn_agents.py:232-271``); non-divisible S is padded
+    with masked sources (exact).  Differentiable: the max-shift is
+    stop_gradient'ed, so the backward is the psum/all-gather transposes.
+    """
+    g = mesh.shape[axis]
+    S = s.shape[-2]
+    pad = (-S) % g
+    if pad:
+        s = jnp.pad(s, [(0, 0)] * (s.ndim - 2) + [(0, pad), (0, 0)])
+        v = jnp.pad(v, [(0, 0)] * (v.ndim - 2) + [(0, pad), (0, 0)])
+        adj = jnp.pad(adj, [(0, 0)] * (adj.ndim - 2) + [(0, pad), (0, 0)],
+                      constant_values=False)
+
+    sp, dk, dm = s.shape[-2], q.shape[-1], v.shape[-1]
+    d = q.shape[-2]
+    batch_shape = s.shape[:-2]
+    s2 = s.reshape((-1, sp, dk))
+    q2 = q.reshape((-1, d, dk))
+    v2 = v.reshape((-1, sp, dm))
+    adj2 = jnp.broadcast_to(adj, batch_shape + (sp, d)).reshape((-1, sp, d))
+
+    def local_block(s_blk, q_full, v_blk, adj_blk):
+        # s_blk/v_blk: [N, S_loc, *]; q_full: [N, D, K]; adj_blk: [N, S_loc, D]
+        scores = jnp.einsum("nsk,ndk->nsd", s_blk, q_full) / key_size
+        scores = jnp.where(adj_blk, scores, _NEG_BIG)
+        local_max = jnp.max(scores, axis=1)                        # [N, D]
+        global_max = jnp.max(jax.lax.all_gather(
+            jax.lax.stop_gradient(local_max), axis), axis=0)
+        shift = jnp.where(global_max <= _NEG_BIG / 2, 0.0, global_max)
+        w = jnp.where(adj_blk, jnp.exp(scores - shift[:, None, :]), 0.0)
+        denom = jax.lax.psum(jnp.sum(w, axis=1), axis)             # [N, D]
+        acc = jax.lax.psum(jnp.einsum("nsd,nsm->ndm", w, v_blk), axis)
+        return acc / jnp.maximum(denom, 1e-30)[..., None]
+
+    c = shard_map(
+        local_block, mesh=mesh,
+        in_specs=(P(None, axis, None), P(None, None, None),
+                  P(None, axis, None), P(None, axis, None)),
+        out_specs=P(None, None, None),
+    )(s2, q2, v2, adj2)
+    return c.reshape(batch_shape + (d, dm))

@@ -141,7 +141,7 @@ class Logger:
         """
         if proc_id() == 0:
             row = [self.log_current_row.get(key, "") for key in self.log_headers]
-            width = max(15, *(len(key) for key in self.log_headers))
+            width = max([15, *map(len, self.log_headers)])
             rule = "-" * (width + 22)
             lines = [rule]
             for key, val in zip(self.log_headers, row):
