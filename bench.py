@@ -56,6 +56,9 @@ BPTT = os.environ.get("BENCH_BPTT", "per_step")
 # Scan unroll factor for the BPTT unrolls (latency-bound scan; see
 # algos/core.py bptt_unroll).
 UNROLL = int(os.environ.get("BENCH_UNROLL", 1))
+# Recurrent-step backend: 'xla' or 'pallas' (ops/step_kernels.py fused
+# TarMAC+GRU+head megakernel).  Hardware A/B: benchmarks/bench_step_ab.py.
+STEP_BACKEND = os.environ.get("BENCH_STEP", "xla")
 T = 50
 STATE_DIM = A * 2 + M * 4
 EDGES_PER_UPDATE = B * (2 * T + 1) * A * (M + K + A)
@@ -64,14 +67,17 @@ TRAIN_KW = dict(o="gnn", c="tarmac", hidden_size=HID, msg_size=MSG, key_size=KEY
                 double_q=True, dueling=True, replay_size=max(64, B),
                 # Mixed precision: bf16 unrolls with f32 masters/loss/optimizer
                 # (1.22x on-chip vs f32; first-update loss matches to 3 decimals
-                # — see benchmarks/bench_bf16_ab.py).
-                compute_dtype="bfloat16",
+                # — see benchmarks/bench_bf16_ab.py).  BENCH_DTYPE overrides
+                # for A/Bs (the pallas step kernel accumulates f32 internally,
+                # so its loss is compared against the f32 XLA path).
+                compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
                 # MXU block-diagonal flash-GAT (fwd + bwd) — hardware A/B at
                 # this exact shape (benchmarks/bench_train_swarm.py, bf16):
                 # 24.1 ms/update vs 36.5 dense = 1.51x, losses matching to
                 # 3 decimals.  See benchmarks/RESULTS.md round-2 section.
                 gat_backend="pallas_fused_mxu",
-                bptt_encoder=BPTT, bptt_unroll=UNROLL)
+                bptt_encoder=BPTT, bptt_unroll=UNROLL,
+                step_backend=STEP_BACKEND)
 
 
 def log(*a):
@@ -123,6 +129,8 @@ def bench_tpu(n_timed=20):
     m = learner.update()  # compile + tunnel warmup (+first host fetch inside)
     log(f"TPU first update (compile+warmup): {time.perf_counter() - t0:.1f}s "
         f"LossQ={m['LossQ']:.4f}")
+    global LAST_FIRST_LOSS
+    LAST_FIRST_LOSS = float(m["LossQ"])  # A/B scripts compare across backends
 
     # Timed with a DEVICE-RESIDENT batch: on the tunneled dev chip, host->HBM
     # batch transfer is relay-bandwidth-bound and would swamp the chip-compute

@@ -51,6 +51,24 @@ def check_args_sanity(args):
     if comm_backend not in ("dense", "graph_parallel"):
         raise ValueError(f"comm_backend must be 'dense' or 'graph_parallel', "
                          f"got {comm_backend!r}")
+
+    step_backend = getattr(args, "step_backend", "xla")
+    if step_backend not in ("xla", "pallas"):
+        raise ValueError(f"step_backend must be 'xla' or 'pallas', "
+                         f"got {step_backend!r}")
+    if step_backend == "pallas":
+        # The fused recurrent-step kernel (ops/step_kernels.py) implements
+        # exactly the flagship step: TarMAC comm (1 round) + GRU + head.  A
+        # silent fallback would misreport what ran; fail loudly instead.
+        if getattr(args, "c", None) != "tarmac" or getattr(args, "n_rounds", 1) != 1:
+            raise ValueError("step_backend='pallas' requires c='tarmac' and "
+                             "n_rounds=1 (the fused recurrent-step kernel "
+                             "covers the TarMAC+GRU+head step only)")
+        if comm_backend != "dense":
+            raise ValueError("step_backend='pallas' and "
+                             "comm_backend='graph_parallel' are mutually "
+                             "exclusive (the fused step kernel is single-"
+                             "device; shard the batch axis instead)")
     if gat_backend == "pallas":
         # flash_gat has no custom VJP; inside the differentiated update it
         # would fail (or worse, appear to work via a fallback).  Training

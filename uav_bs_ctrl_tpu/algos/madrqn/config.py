@@ -29,6 +29,11 @@ DEFAULT_CONFIG = {
     # source-agent axis over the registered 'gp' mesh axis (the A^2-edge comm
     # relation; see parallel/graph_parallel.tarmac_attention_graph_parallel).
     'comm_backend': 'dense',
+    # 'xla' | 'pallas': fuse the whole recurrent step (TarMAC comm + GRU +
+    # head) into one Pallas kernel per scan iteration with a custom-VJP
+    # backward (ops/step_kernels.py) — the lever for the latency-bound
+    # scan-BPTT floor.  Requires c='tarmac', n_rounds=1.
+    'step_backend': 'xla',
     'compute_dtype': 'float32',  # 'bfloat16' -> mixed-precision net compute (MXU-native)
 
     # Basic training hyperparameters

@@ -98,6 +98,17 @@ class GnnAgent:
 
         self.dueling = getattr(args, "dueling", False)
         self.f_out = DuelingLayer(self.hidden, n_actions) if self.dueling else None
+        # 'xla' (default) or 'pallas': fuse the ENTIRE recurrent step —
+        # TarMAC comm + GRU + (dueling) head — into one Pallas kernel per
+        # scan iteration (custom-VJP backward), collapsing the per-step
+        # launch/fusion-boundary chain the scan-BPTT update is latency-bound
+        # on.  Only defined for c='tarmac' with n_rounds=1 (enforced by
+        # check_args_sanity).
+        self.step_backend = getattr(args, "step_backend", "xla")
+        self._pallas_step = (self.step_backend == "pallas"
+                             and self.comm_protocol == "tarmac"
+                             and getattr(args, "n_rounds", 1) == 1)
+        self.key_size = getattr(args, "key_size", 16)
 
     def init(self, key):
         k_enc, k_comm, k_out = jax.random.split(key, 3)
@@ -117,12 +128,51 @@ class GnnAgent:
         return self.enc.apply(p["enc"], obs)   # [..., A, hidden]
 
     def step(self, p, x, adj, h, key=None):
+        if self._pallas_step:
+            return self._step_pallas(p, x, adj, h)
         if self.f_comm is not None:
             h = self.f_comm.apply(p["f_comm"], adj, x, h, key)
         else:
             h = gru(p["rnn"], x, h)
         q = self.f_out.apply(p["f_out"], h) if self.dueling else linear(p["f_out"], h)
         return q, h
+
+    def _step_pallas(self, p, x, adj, h):
+        """Fused recurrent step (ops.step_kernels): flatten [..., A, H] rows
+        world-major, run one kernel, restore the leading shape."""
+        from uav_bs_ctrl_tpu.ops.step_kernels import tarmac_step_train
+        # Kernel I/O is f32: the kernel accumulates in f32 regardless (the
+        # step is latency-, not bandwidth-, bound), and f32 blocks sidestep
+        # Mosaic's stricter 16-bit tiling on the small-lane operands
+        # (adjf [R, A], biases, the 1-wide dueling V head).  Under bf16
+        # mixed precision the inputs are already bf16-rounded, so the
+        # round-trip is exact; outputs are cast back to the carry dtype.
+        f32 = lambda t: t.astype(jnp.float32)
+        pc = jax.tree_util.tree_map(f32, p["f_comm"])
+        po = jax.tree_util.tree_map(f32, p["f_out"])
+        a = x.shape[-2]
+        lead = x.shape[:-2]
+        x2 = f32(x.reshape((-1, x.shape[-1])))
+        h2 = f32(h.reshape((-1, h.shape[-1])))
+        adjf = jnp.broadcast_to(adj, lead + (a, a)).reshape((-1, a)) \
+            .astype(jnp.float32)
+        if self.dueling:
+            wo, bo = po["adv"]["w"], po["adv"]["b"]
+            wvh, bvh = po["v"]["w"], po["v"]["b"]
+        else:
+            wo, bo = po["w"], po["b"]
+            wvh = jnp.zeros((h.shape[-1], 1), jnp.float32)
+            bvh = jnp.zeros((1,), jnp.float32)
+        q, h_new = tarmac_step_train(
+            x2, h2, adjf,
+            pc["f_val"]["w"], pc["f_val"]["b"],
+            pc["f_sign"]["w"], pc["f_sign"]["b"],
+            pc["f_que"]["w"], pc["f_que"]["b"],
+            pc["f_udt"]["wi"], pc["f_udt"]["wh"],
+            pc["f_udt"]["bi"], pc["f_udt"]["bh"],
+            wo, bo, wvh, bvh, a, self.key_size, self.dueling)
+        return (q.reshape(lead + (a, q.shape[-1])).astype(x.dtype),
+                h_new.reshape(lead + (a, h_new.shape[-1])).astype(h.dtype))
 
     def apply(self, p, obs, h, key=None):
         adj = obs.get("adj") if isinstance(obs, dict) else None
