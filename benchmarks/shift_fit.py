@@ -78,6 +78,37 @@ def shift_fit(ref_name, run_dir, n_components=1):
     return best[0], best[1], np.std(ref_t)
 
 
+def takeoff_step(x, y, frac=0.25):
+    """First step where the curve sustainedly crosses ``frac`` of its final
+    level (mean of the last 8%) — a translation-invariant takeoff marker."""
+    final = np.mean(y[int(len(y) * 0.92):])
+    thresh = frac * final
+    above = y >= thresh
+    for i in range(len(above)):
+        if above[i:].all() or (above[i] and above[i:i + 3].all()):
+            return x[i]
+    return float("nan")
+
+
+def takeoff_table():
+    """Takeoff steps for the reference curves and every local seed of each
+    cell — the spread across our seeds is the measurement that closes the
+    takeoff-variance question."""
+    print("\ntakeoff (first sustained crossing of 25% of final level):")
+    for ref_name, run_dir in CELLS:
+        ref = pd.read_csv(osp.join(HERE, "ref_curves", ref_name + ".csv"))
+        t_ref = takeoff_step(ref["step"].values, ref["value"].values)
+        rows = [f"ref(3-seed mean) {t_ref / 1e6:.2f}M"]
+        for f in sorted(glob.glob(osp.join(REPO, "data", run_dir, "*",
+                                           "progress.txt"))):
+            t = pd.read_table(f)
+            seed = f.split("_s")[-1].split("/")[0]
+            tk = takeoff_step(t["TotalEnvInteracts"].values,
+                              t["AverageEpRet"].values)
+            rows.append(f"s{seed} {tk / 1e6:.2f}M")
+        print(f"  {ref_name:24s} {'  '.join(rows)}")
+
+
 def main():
     for ref_name, run_dir in CELLS:
         rmse, ds, std = shift_fit(ref_name, run_dir)
@@ -87,6 +118,7 @@ def main():
     print(f"{CELLS[0][0]:24s} 3-seed-stagger mixture: RMSE {rmse3:5.2f} "
           f"shifts {tuple(round(d / 1e6, 1) for d in ds3)}M "
           f"(vs single-shift above — no stagger evidence if ~equal)")
+    takeoff_table()
 
 
 if __name__ == "__main__":
