@@ -383,3 +383,39 @@ def test_tarmac_comm_backend_training_step_matches_dense():
                       jax.tree_util.tree_leaves(params_gp)):
         np.testing.assert_allclose(np.asarray(xb), np.asarray(xa),
                                    atol=5e-5, rtol=1e-3)
+
+
+def test_fused_trainer_dp_sharded_matches_single():
+    """The FULL fused loop (collect -> ring write -> K updates) sharded over
+    an 8-way 'dp' mesh reproduces the unsharded trainer exactly.
+
+    Same seeds -> identical math; only the execution is SPMD-partitioned
+    (worlds and replay chunks sharded, params replicated, gradient allreduce
+    inserted by XLA).  Extends the multi-chip validation beyond the bare
+    update to collection and the device replay ring.
+    """
+    from uav_bs_ctrl_tpu.algos.madrqn.fused import FusedMadrqnTrainer
+
+    kw = dict(device="cpu", o="mlp", c="tarmac", hidden_size=16, msg_size=8,
+              batch_size=8, replay_size=64, max_seq_len=None, double_q=True)
+
+    def run(mesh):
+        tr = FusedMadrqnTrainer("debug", train_kwargs=dict(kw), n_worlds=8,
+                                capacity_chunks=16, n_layouts=4, seed=3,
+                                mesh=mesh)
+        tr.run_iteration(1.0, warmup=True)
+        m1 = tr.run_iteration(0.7)
+        m2 = tr.run_iteration(0.5)
+        return (m1, m2), tr.learner.params
+
+    (a1, a2), params_single = run(None)
+    mesh = make_mesh(8, mp=1)
+    (b1, b2), params_dp = run(mesh)
+
+    np.testing.assert_allclose(b1["LossQ"], a1["LossQ"], rtol=1e-5)
+    np.testing.assert_allclose(b2["LossQ"], a2["LossQ"], rtol=1e-5)
+    np.testing.assert_allclose(b2["EpRet"], a2["EpRet"], rtol=1e-5)
+    for xa, xb in zip(jax.tree_util.tree_leaves(params_single),
+                      jax.tree_util.tree_leaves(params_dp)):
+        np.testing.assert_allclose(np.asarray(xb), np.asarray(xa),
+                                   atol=2e-5, rtol=1e-3)

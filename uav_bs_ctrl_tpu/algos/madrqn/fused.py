@@ -40,7 +40,7 @@ class FusedMadrqnTrainer:
 
     def __init__(self, map_id, train_kwargs=None, n_worlds=16, capacity_chunks=256,
                  updates_per_iter=None, n_layouts=64, seed=0, fair_service=True,
-                 avoid_collision=True, interleave=1):
+                 avoid_collision=True, interleave=1, mesh=None):
         cfg = dict(DEFAULT_CONFIG)
         cfg.update(train_kwargs or {})
         self.args = args = check_args_sanity(SN(**cfg))
@@ -93,6 +93,33 @@ class FusedMadrqnTrainer:
             lambda s: jnp.zeros((self.capacity,) + s.shape[1:], s.dtype), chunk_shape)
         self._ptr = 0
         self._size = 0
+
+        # Multi-chip: shard the ENTIRE fused loop over the mesh's 'dp' axis —
+        # the world axis of collection (vmapped envs + policy forwards run
+        # shard-local) and the chunk axis of the device replay ring.  Params/
+        # optimizer state replicate; XLA's SPMD partitioner inserts the
+        # gradient all-reduce inside the update and the (tiny) gathers for
+        # cross-shard batch sampling.  This extends the multi-chip story from
+        # the bare update (parallel/mesh.distribute_learner) to the full
+        # collection -> ring-write -> update program.
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            dp = mesh.shape["dp"]
+            assert n_worlds % dp == 0, \
+                f"n_worlds={n_worlds} must divide the dp axis ({dp})"
+            assert self.capacity % dp == 0, \
+                f"capacity_chunks={self.capacity} must divide the dp axis ({dp})"
+            shard0 = lambda x: jax.device_put(
+                x, NamedSharding(mesh, P(*(("dp",) + (None,) * (x.ndim - 1)))))
+            repl = lambda x: jax.device_put(x, NamedSharding(mesh, P())) \
+                if hasattr(x, "ndim") else x
+            self.replay = jax.tree_util.tree_map(shard0, self.replay)
+            self.learner.params = jax.tree_util.tree_map(repl, self.learner.params)
+            self.learner.target_params = jax.tree_util.tree_map(
+                repl, self.learner.target_params)
+            self.learner.opt_state = jax.tree_util.tree_map(
+                repl, self.learner.opt_state)
 
         self._iter_jit = jax.jit(self._iteration, donate_argnums=(0, 1, 2, 3))
         self._collect_jit = jax.jit(self._collect)
