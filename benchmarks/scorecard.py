@@ -44,6 +44,7 @@ RUNS = [
     ("exp3_fast_4ubs_disc_qmix_lay64k/*", ("exp3", "4ubs", "disc_gnn")),
     ("exp3_fast_4ubs_disc_lay64k/*", ("exp3", "4ubs", "disc_gnn")),
     ("exp3_fast_4ubs_disc_il20_lay64k/*", ("exp3", "4ubs", "disc_gnn")),
+    ("exp3_fast_4ubs_disc_il40_lay64k/*", ("exp3", "4ubs", "disc_gnn")),
     ("exp3_fast_4ubs_iql_lay64k/*", ("exp3", "4ubs", "iql_gnn")),
     ("exp3_fast_4ubs_tarmac_mlp/*", ("exp3", "4ubs", "tarmac_mlp")),
     ("exp3_fast_6ubs_tarmac/*", ("exp3", "6ubs", "tarmac_gnn")),
