@@ -553,7 +553,10 @@ def _fgf_bwd(n_heads, negative_slope, tile_n, tile_m, interpret, mxu, res, g):
     # The bwd block holds ~6 live [TN, TM, HF] f32 intermediates (z/lz/d_el/
     # d_z/alpha-broadcasts), 4x the forward's footprint — clamp its row tile
     # so VMEM stays under the 16 MB scoped limit (fwd keeps the larger tile).
-    tile_n = min(tile_n, 8)
+    # UAVBS_GAT_BWD_TILE overrides for hardware sweeps (the bwd costs ~2x the
+    # fwd at the flagship shape — benchmarks/RESULTS.md round-4 epilogue).
+    import os as _os
+    tile_n = min(tile_n, int(_os.environ.get("UAVBS_GAT_BWD_TILE", 8)))
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     x_src, w_src, b_src, er, attn, mask_f, out, mstat, lstat = res
