@@ -217,3 +217,54 @@ def test_flash_gat_fused_train_bf16_parity(mxu):
         scale = np.max(np.abs(np.asarray(gd))) + 1e-6
         rel = np.max(np.abs(np.asarray(gp, np.float32) - np.asarray(gd))) / scale
         assert rel < 0.08, f"grad {name} rel err {rel:.3f} (mxu={mxu})"
+
+
+@pytest.mark.parametrize("n,m,need_dx", [
+    (16, 7, False),    # 'near'-relation slot count: adaptive tile_m -> 8
+    (16, 50, False),   # 'seen'-relation slot count: adaptive tile_m -> 56
+    (16, 50, True),
+])
+def test_flash_gat_fused_train_small_m_and_need_dx(n, m, need_dx):
+    """Flagship slot counts (adaptive tile_m < 128) + the no-dx backward.
+
+    need_dx=False must still produce exact param/er/attn grads and return a
+    zero obs cotangent (the training update never consumes it).
+    """
+    from uav_bs_ctrl_tpu.ops.pallas_kernels import (flash_gat_fused_reference,
+                                                    flash_gat_fused_train)
+    rng = np.random.default_rng(11)
+    d, heads, f = 4, 4, 64
+    hf = heads * f
+    x = jnp.asarray(rng.normal(size=(n, m, d)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(d, hf)).astype(np.float32) / np.sqrt(d))
+    b = jnp.asarray(rng.normal(size=(hf,)).astype(np.float32))
+    er = jnp.asarray(rng.normal(size=(n, hf)).astype(np.float32))
+    attn = jnp.asarray(rng.normal(size=(heads, f)).astype(np.float32))
+    mask_b = jnp.asarray(rng.random((n, m)) > 0.4).at[1].set(False)
+    mask_f = mask_b.astype(np.float32)
+    cot = jnp.asarray(rng.normal(size=(n, hf)).astype(np.float32))
+
+    ref = flash_gat_fused_reference(x, w, b, er, attn, mask_b, heads)
+    out = flash_gat_fused_train(x, w, b, er, attn, mask_f, heads,
+                                0.2, 8, 128, True, True, need_dx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=1e-4)
+
+    def loss_dense(x_, w_, b_, er_, attn_):
+        o = flash_gat_fused_reference(x_, w_, b_, er_, attn_, mask_b, heads)
+        return jnp.sum(o * cot)
+
+    def loss_pallas(x_, w_, b_, er_, attn_):
+        o = flash_gat_fused_train(x_, w_, b_, er_, attn_, mask_f, heads,
+                                  0.2, 8, 128, True, True, need_dx)
+        return jnp.sum(o * cot)
+
+    g_dense = jax.grad(loss_dense, argnums=(0, 1, 2, 3, 4))(x, w, b, er, attn)
+    g_pallas = jax.grad(loss_pallas, argnums=(0, 1, 2, 3, 4))(x, w, b, er, attn)
+    for k, (gd, gp, name) in enumerate(zip(g_dense, g_pallas,
+                                           ("x", "w", "b", "er", "attn"))):
+        if name == "x" and not need_dx:
+            assert not np.any(np.asarray(gp)), "no-dx path must return zeros"
+            continue
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gd),
+                                   atol=5e-3, rtol=5e-4, err_msg=name)

@@ -68,7 +68,7 @@ def gatv2_init(key, d_src, d_dst, n_heads, feats_per_head, dtype=jnp.float32):
 
 
 def gatv2(p, x_src, x_dst, mask, n_heads, negative_slope=0.2, activation=jax.nn.relu,
-          backend="dense"):
+          backend="dense", need_dx=True):
     """Masked bipartite GATv2 with residual.
 
     x_src: [..., M, d_src] candidate source features per destination,
@@ -138,7 +138,8 @@ def gatv2(p, x_src, x_dst, mask, n_heads, negative_slope=0.2, activation=jax.nn.
                                         er2, p["attn"],
                                         mask2.astype(x_src.dtype), n_heads,
                                         negative_slope,
-                                        tile_n=GAT_TILE_N[backend], mxu=mxu)
+                                        tile_n=GAT_TILE_N[backend], mxu=mxu,
+                                        need_dx=need_dx)
         rst = ft_flat.reshape(batch_shape + (hf,))
     else:
         el = linear(p["fc_src"], x_src)                   # [..., M, H*F]
@@ -206,9 +207,12 @@ class GraphObservationEncoder:
     def apply(self, p, obs):
         gt_mask = obs["gt"][..., 0] > 0
         ubs_mask = obs["ubs"][..., 0] > 0
+        # need_dx=False: the source features here are observation leaves —
+        # nothing ever differentiates w.r.t. them, so the Pallas backward
+        # skips the [.., M, d] obs-cotangent matmul and HBM write.
         x_gt = gatv2(p["seen"], obs["gt"][..., 1:], obs["agent"], gt_mask,
-                     self.n_heads, backend=self.backend)
+                     self.n_heads, backend=self.backend, need_dx=False)
         x_ubs = gatv2(p["near"], obs["ubs"][..., 1:], obs["agent"], ubs_mask,
-                      self.n_heads, backend=self.backend)
+                      self.n_heads, backend=self.backend, need_dx=False)
         x = jnp.concatenate([x_gt, x_ubs], axis=-1)
         return jax.nn.relu(linear(p["aggr"], x))

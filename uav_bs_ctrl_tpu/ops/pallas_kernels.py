@@ -36,6 +36,25 @@ _NEG_BIG = -1e30
 GAT_TILE_N = {"pallas_fused": 8, "pallas_fused_mxu": 32}
 
 
+def _sublane(dtype):
+    """Second-minor tiling granule for a dtype on TPU (8 f32, 16 bf16)."""
+    return 8 if jnp.dtype(dtype).itemsize >= 4 else 16
+
+
+def _effective_tile_m(m, tile_m, dtype):
+    """Shrink the source-slot tile to the actual slot count (sublane-rounded).
+
+    The flagship relations have tiny slot axes (M=50 'seen', K=7 'near');
+    padding them to the historical tile_m=128 multiplied every contraction's
+    work by 2.6x / 18x respectively — the round-4 "forward 15x above its
+    matmul bound" mystery (benchmarks/RESULTS.md round-5).  Tiling only pays
+    when M exceeds one tile; otherwise one j-block sized to the sublane-
+    rounded slot count does the minimum padded work.
+    """
+    granule = _sublane(dtype)
+    return min(tile_m, max(granule, ((m + granule - 1) // granule) * granule))
+
+
 def _flash_gat_kernel(el_ref, er_ref, attn_ref, mask_ref, out_ref,
                       m_scr, l_scr, acc_scr, *, n_heads, negative_slope):
     """Online-softmax GAT block.
@@ -113,6 +132,7 @@ def flash_gat(el, er, attn, mask, n_heads, negative_slope=0.2,
     """
     n, m, hf = el.shape
     assert hf % n_heads == 0
+    tile_m = _effective_tile_m(m, tile_m, el.dtype)
 
     # Pad N and M to tile multiples (padded slots are masked out).
     pad_n = (-n) % tile_n
@@ -191,11 +211,13 @@ def _flash_gat_fused_kernel(x_ref, w_ref, b_ref, er_ref, attn_ref, mask_ref,
     hf = w.shape[1]
     f = hf // n_heads
 
-    # Fused projection (f32 accumulate on the MXU). Reshape only merges the
-    # leading (sublane) dims — Mosaic rejects lane-splitting reshapes, not
-    # this one.
+    # Fused projection: NATIVE-dtype operands on the MXU with f32 accumulate
+    # (a bf16 x bf16 matmul runs at full MXU rate; upcasting first would halve
+    # it).  Reshape only merges the leading (sublane) dims — Mosaic rejects
+    # lane-splitting reshapes, not this one.
+    cdt = x.dtype
     el = jax.lax.dot_general(
-        x.reshape(tn * tm, d).astype(jnp.float32), w.astype(jnp.float32),
+        x.reshape(tn * tm, d), w,
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     el = (el + b.astype(jnp.float32)).reshape(tn, tm, hf)
     er = er_ref[:].astype(jnp.float32)                       # [TN, H*F]
@@ -207,11 +229,12 @@ def _flash_gat_fused_kernel(x_ref, w_ref, b_ref, er_ref, attn_ref, mask_ref,
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     if mxu:
-        ablk = attn_blk_ref[:].astype(jnp.float32)           # [HF, H]
+        ablk = attn_blk_ref[:]                               # [HF, H]
         e = el + er[:, None, :]                              # [TN, TM, HF]
         e = jnp.where(e >= 0, e, negative_slope * e)
         scores = jax.lax.dot_general(
-            e.reshape(tn * tm, hf), ablk, (((1,), (0,)), ((), ())),
+            e.reshape(tn * tm, hf).astype(cdt), ablk.astype(cdt),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).reshape(tn, tm, n_heads)
         scores = jnp.where(mask[:, :, None] > 0, scores, _NEG_BIG)
 
@@ -228,7 +251,8 @@ def _flash_gat_fused_kernel(x_ref, w_ref, b_ref, er_ref, attn_ref, mask_ref,
         # Batch n, contract m: [TN, H, HF]; head h's slice of interest is
         # full[:, h, h*F:(h+1)*F] (the off-diagonal blocks are H-1/H wasted
         # MACs, but the MXU eats them against the VPU's reduce latency).
-        full = jax.lax.dot_general(p, el, (((1,), (1,)), ((0,), (0,))),
+        full = jax.lax.dot_general(p.astype(cdt), el.astype(cdt),
+                                   (((1,), (1,)), ((0,), (0,))),
                                    preferred_element_type=jnp.float32)
         for h in range(n_heads):
             sl = slice(h * f, (h + 1) * f)
@@ -298,6 +322,7 @@ def flash_gat_fused(x_src, w_src, b_src, er, attn, mask, n_heads,
     n, m, d = x_src.shape
     hf = w_src.shape[1]
     assert hf % n_heads == 0
+    tile_m = _effective_tile_m(m, tile_m, x_src.dtype)
 
     pad_n = (-n) % tile_n
     pad_m = (-m) % tile_m
@@ -373,15 +398,14 @@ def flash_gat_fused_reference(x_src, w_src, b_src, er, attn, mask, n_heads,
     return flash_gat_reference(el, er, attn, mask, n_heads, negative_slope)
 
 
-def _flash_gat_fused_bwd_kernel(*refs, n_heads, negative_slope, mxu):
-    if mxu:
-        (x_ref, w_ref, b_ref, er_ref, attn_ref, mask_ref, g_ref, dvec_ref,
-         mstat_ref, lstat_ref, attn_blk_ref, dx_ref, dw_ref, db_ref, der_ref,
-         dattn_ref) = refs
-    else:
-        (x_ref, w_ref, b_ref, er_ref, attn_ref, mask_ref, g_ref, dvec_ref,
-         mstat_ref, lstat_ref, dx_ref, dw_ref, db_ref, der_ref,
-         dattn_ref) = refs
+def _flash_gat_fused_bwd_kernel(*refs, n_heads, negative_slope, mxu, need_dx):
+    refs = list(refs)
+    (x_ref, w_ref, b_ref, er_ref, attn_ref, mask_ref, g_ref, dvec_ref,
+     mstat_ref, lstat_ref) = refs[:10]
+    rest = refs[10:]
+    attn_blk_ref = rest.pop(0) if mxu else None
+    dx_ref = rest.pop(0) if need_dx else None
+    dw_ref, db_ref, der_ref, dattn_ref = rest
     """Flash-style backward: recompute el/alpha per block, accumulate grads.
 
     Cotangent math (g = dL/dout, per head h; alpha the masked softmax,
@@ -401,8 +425,9 @@ def _flash_gat_fused_bwd_kernel(*refs, n_heads, negative_slope, mxu):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
-    x = x_ref[:]                       # [TN, TM, D]
-    w = w_ref[:].astype(jnp.float32)   # [D, HF]
+    x = x_ref[:]                       # [TN, TM, D]  (native dtype — MXU dots
+    cdt = x.dtype                      #  run bf16 when the caller trains bf16)
+    w = w_ref[:]                       # [D, HF]
     b = b_ref[:].astype(jnp.float32)   # [1, HF]
     mask = mask_ref[:].astype(jnp.float32)  # [TN, TM] (bf16-safe, see fwd)
     g = g_ref[:].astype(jnp.float32)   # [TN, HF]
@@ -425,7 +450,7 @@ def _flash_gat_fused_bwd_kernel(*refs, n_heads, negative_slope, mxu):
     def _init_row():
         der_ref[:] = jnp.zeros_like(der_ref)
 
-    x_flat = x.reshape(tn * tm, d).astype(jnp.float32)
+    x_flat = x.reshape(tn * tm, d)
     el = jax.lax.dot_general(x_flat, w, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
     el = (el + b).reshape(tn, tm, hf)
@@ -439,10 +464,10 @@ def _flash_gat_fused_bwd_kernel(*refs, n_heads, negative_slope, mxu):
         # block-diagonalized g operand built from an iota mask.  Off-diagonal
         # blocks are (H-1)/H wasted MACs; the MXU eats them against the VPU's
         # reduce latency (same trade the forward measured at 1.7x).
-        ablk = attn_blk_ref[:].astype(jnp.float32)            # [HF, H]
+        ablk = attn_blk_ref[:].astype(cdt)                    # [HF, H]
         z = el + er[:, None, :]                               # [TN, TM, HF]
         lz = jnp.where(z >= 0, z, negative_slope * z)
-        lz_flat = lz.reshape(tn * tm, hf)
+        lz_flat = lz.reshape(tn * tm, hf).astype(cdt)
         scores = jax.lax.dot_general(
             lz_flat, ablk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).reshape(tn, tm, n_heads)
@@ -454,14 +479,14 @@ def _flash_gat_fused_bwd_kernel(*refs, n_heads, negative_slope, mxu):
 
         blkmask = (jax.lax.broadcasted_iota(jnp.int32, (hf, n_heads), 0) // f
                    == jax.lax.broadcasted_iota(jnp.int32, (hf, n_heads), 1)
-                   ).astype(jnp.float32)                      # [HF, H]
-        g_blk = g[:, :, None] * blkmask[None]                 # [TN, HF, H]
+                   ).astype(cdt)                              # [HF, H]
+        g_blk = g.astype(cdt)[:, :, None] * blkmask[None]     # [TN, HF, H]
         d_alpha = jax.lax.dot_general(
-            el, g_blk, (((2,), (1,)), ((0,), (0,))),
+            el.astype(cdt), g_blk, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)               # [TN, TM, H]
         d_s = alpha * (d_alpha - dvec[:, None, :])            # [TN, TM, H]
 
-        d_s_flat = d_s.reshape(tn * tm, n_heads)
+        d_s_flat = d_s.reshape(tn * tm, n_heads).astype(cdt)
         # (d_s @ blk-diag attn^T)[nm, hf] = d_s[nm, head(hf)] * attn[head, f]
         d_s_attn = jax.lax.dot_general(
             d_s_flat, ablk, (((1,), (1,)), ((), ())),
@@ -470,7 +495,8 @@ def _flash_gat_fused_bwd_kernel(*refs, n_heads, negative_slope, mxu):
         d_z = d_s_attn * dleaky                               # [TN, TM, HF]
 
         alpha_b = jax.lax.dot_general(
-            alpha.reshape(tn * tm, n_heads), blkmask, (((1,), (1,)), ((), ())),
+            alpha.reshape(tn * tm, n_heads).astype(cdt), blkmask,
+            (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32).reshape(tn, tm, hf)
         d_el = alpha_b * g[:, None, :] + d_z
         der_ref[:] += jnp.sum(d_z, axis=1)
@@ -512,25 +538,34 @@ def _flash_gat_fused_bwd_kernel(*refs, n_heads, negative_slope, mxu):
             dattn_ref[h:h + 1, :] += da_h
 
     d_el_flat = d_el.reshape(tn * tm, hf)
-    dx = jax.lax.dot_general(d_el_flat, w, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    dx_ref[:] = dx.reshape(tn, tm, d).astype(dx_ref.dtype)
-    dw_ref[:] += jax.lax.dot_general(x_flat, d_el_flat,
+    d_el_c = d_el_flat.astype(cdt)
+    if need_dx:
+        # The obs cotangent: dead weight when the sources are observation
+        # leaves (the training update differentiates params only) — the
+        # encoder path calls with need_dx=False and skips both the matmul
+        # and the [N, M, D] HBM write.
+        dx = jax.lax.dot_general(d_el_c, w, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dx_ref[:] = dx.reshape(tn, tm, d).astype(dx_ref.dtype)
+    dw_ref[:] += jax.lax.dot_general(x_flat, d_el_c,
                                      (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
     db_ref[:] += jnp.sum(d_el_flat, axis=0, keepdims=True)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
 def flash_gat_fused_train(x_src, w_src, b_src, er, attn, mask_f, n_heads,
                           negative_slope=0.2, tile_n=8, tile_m=128,
-                          interpret=None, mxu=False):
+                          interpret=None, mxu=False, need_dx=True):
     """Differentiable ``flash_gat_fused`` (Pallas forward AND backward).
 
     ``mask_f`` must be a float 0/1 array (gets a zero cotangent).  Training
     use-site: ``models.encoders.gatv2`` with ``backend='pallas_fused'`` (or
     ``'pallas_fused_mxu'`` for the MXU-contraction forward — 1.32x over XLA
     dense at swarm scale on hardware; the flash-recompute backward is shared).
+    ``need_dx=False`` skips the source-feature cotangent entirely (returns
+    symbolic zeros for it) — correct whenever ``x_src`` is an observation
+    leaf that is never differentiated, as in every training update.
     """
     return flash_gat_fused(x_src, w_src, b_src, er, attn, mask_f, n_heads,
                            negative_slope=negative_slope, tile_n=tile_n,
@@ -538,7 +573,7 @@ def flash_gat_fused_train(x_src, w_src, b_src, er, attn, mask_f, n_heads,
 
 
 def _fgf_fwd(x_src, w_src, b_src, er, attn, mask_f, n_heads, negative_slope,
-             tile_n, tile_m, interpret, mxu):
+             tile_n, tile_m, interpret, mxu, need_dx):
     out, mstat, lstat = flash_gat_fused(
         x_src, w_src, b_src, er, attn, mask_f, n_heads,
         negative_slope=negative_slope, tile_n=tile_n, tile_m=tile_m,
@@ -546,20 +581,25 @@ def _fgf_fwd(x_src, w_src, b_src, er, attn, mask_f, n_heads, negative_slope,
     return out, (x_src, w_src, b_src, er, attn, mask_f, out, mstat, lstat)
 
 
-def _fgf_bwd(n_heads, negative_slope, tile_n, tile_m, interpret, mxu, res, g):
+def _fgf_bwd(n_heads, negative_slope, tile_n, tile_m, interpret, mxu, need_dx,
+             res, g):
     # The backward re-derives alpha from the forward's saved (mstat, lstat)
     # row statistics.  With mxu=True the recompute and cotangent contractions
     # ride the MXU as block-diagonal matmuls, matching the forward's engine.
     # The bwd block holds ~6 live [TN, TM, HF] f32 intermediates (z/lz/d_el/
     # d_z/alpha-broadcasts), 4x the forward's footprint — clamp its row tile
     # so VMEM stays under the 16 MB scoped limit (fwd keeps the larger tile).
-    # UAVBS_GAT_BWD_TILE overrides for hardware sweeps (the bwd costs ~2x the
-    # fwd at the flagship shape — benchmarks/RESULTS.md round-4 epilogue).
+    # With the slot-sized tile_m the footprint shrinks proportionally, so the
+    # default clamp scales inversely (TN*TM ~ 1024 elements keeps the block
+    # ~3 MB at HF=256 f32).  UAVBS_GAT_BWD_TILE overrides for hardware sweeps.
     import os as _os
-    tile_n = min(tile_n, int(_os.environ.get("UAVBS_GAT_BWD_TILE", 8)))
+    x_src, w_src, b_src, er, attn, mask_f, out, mstat, lstat = res
+    tile_m = _effective_tile_m(x_src.shape[1], tile_m, x_src.dtype)
+    default_tile_n = max(8, 1024 // tile_m)
+    tile_n = min(tile_n, int(_os.environ.get("UAVBS_GAT_BWD_TILE",
+                                             default_tile_n)))
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    x_src, w_src, b_src, er, attn, mask_f, out, mstat, lstat = res
     n, m, d = x_src.shape
     hf = w_src.shape[1]
     f = hf // n_heads
@@ -593,9 +633,14 @@ def _fgf_bwd(n_heads, negative_slope, tile_n, tile_m, interpret, mxu, res, g):
                                                lambda i, j: (0, 0),
                                                memory_space=pltpu.VMEM))
 
-    dx, dw, db, der, dattn = pl.pallas_call(
+    dx_specs = [pl.BlockSpec((tile_n, tile_m, d), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM)] if need_dx else []
+    dx_shapes = ([jax.ShapeDtypeStruct((np_, mp_, d), x_src.dtype)]
+                 if need_dx else [])
+    outs = pl.pallas_call(
         functools.partial(_flash_gat_fused_bwd_kernel, n_heads=n_heads,
-                          negative_slope=negative_slope, mxu=mxu),
+                          negative_slope=negative_slope, mxu=mxu,
+                          need_dx=need_dx),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_n, tile_m, d), lambda i, j: (i, j, 0),
@@ -619,9 +664,7 @@ def _fgf_bwd(n_heads, negative_slope, tile_n, tile_m, interpret, mxu, res, g):
             pl.BlockSpec((tile_n, n_heads), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ] + bwd_in_specs_extra,
-        out_specs=[
-            pl.BlockSpec((tile_n, tile_m, d), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
+        out_specs=dx_specs + [
             pl.BlockSpec((d, hf), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hf), lambda i, j: (0, 0),
@@ -631,8 +674,7 @@ def _fgf_bwd(n_heads, negative_slope, tile_n, tile_m, interpret, mxu, res, g):
             pl.BlockSpec((n_heads, f), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((np_, mp_, d), x_src.dtype),
+        out_shape=dx_shapes + [
             jax.ShapeDtypeStruct((d, hf), jnp.float32),
             jax.ShapeDtypeStruct((1, hf), jnp.float32),
             jax.ShapeDtypeStruct((np_, hf), jnp.float32),
@@ -642,7 +684,13 @@ def _fgf_bwd(n_heads, negative_slope, tile_n, tile_m, interpret, mxu, res, g):
     )(x_src, w_src, b_src.reshape(1, hf), er, attn, mask_f, g, dvec,
       mstat, lstat, *bwd_operands_extra)
 
-    return (dx[:n, :m], dw.astype(w_src.dtype), db[0].astype(b_src.dtype),
+    if need_dx:
+        dx, dw, db, der, dattn = outs
+        dx = dx[:n, :m]
+    else:
+        dw, db, der, dattn = outs
+        dx = jnp.zeros((n, m, d), x_src.dtype)
+    return (dx, dw.astype(w_src.dtype), db[0].astype(b_src.dtype),
             der[:n].astype(er.dtype), dattn.astype(attn.dtype),
             jnp.zeros((n, m), mask_f.dtype))
 
