@@ -80,6 +80,9 @@ TRAIN_KW = dict(o="gnn", c="tarmac", hidden_size=HID, msg_size=MSG, key_size=KEY
                 step_backend=STEP_BACKEND)
 
 
+LAST_EXTRAS = {}  # honest-throughput companions of the last bench_tpu() run
+
+
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
@@ -156,8 +159,33 @@ def bench_tpu(n_timed=20):
     dt = time.perf_counter() - t0
     per_update = dt / n_timed
     edges_per_s = EDGES_PER_UPDATE / per_update
+
+    # Honest companions to the padded-capacity headline (VERDICT r4 item 7):
+    # count only mask-valid edges in the actual timed batch, and model FLOPs
+    # against the measured bf16 matmul peak of this chip.
+    gt_flags = np.asarray(batch["obs"]["gt"][..., 0] > 0)      # [B, T+1, A, M]
+    ubs_flags = np.asarray(batch["obs"]["ubs"][..., 0] > 0)    # [B, T+1, A, K]
+    adj = np.asarray(batch["obs"]["adj"])                      # [B, T+1, A, A]
+    valid_per_update = int(
+        gt_flags.sum() + gt_flags[:, 1:].sum()                 # policy T+1 + target T
+        + ubs_flags.sum() + ubs_flags[:, 1:].sum()
+        + adj.sum() + adj[:, 1:].sum())
+    valid_edges_per_s = valid_per_update / per_update
+    # FLOP model: ~1.4 MFLOP per destination row per forward step (round-4
+    # analytical count, benchmarks/bench_peak.py); backward ~2x forward on
+    # the policy unroll only (target is stop-gradient).
+    upd_flops = 1.4e6 * (B * A) * ((2 * T + 1) + 2 * (T + 1))
+    peak_tflops = 172.0  # measured: benchmarks/bench_peak.py peak_bf16_4096
+    mfu_pct = round(100 * (upd_flops / per_update / 1e12) / peak_tflops, 2)
     log(f"TPU: {n_timed} updates in {dt:.3f}s -> {per_update * 1e3:.1f} ms/update, "
-        f"{edges_per_s:,.0f} edges/s")
+        f"{edges_per_s:,.0f} padded edges/s, {valid_edges_per_s:,.0f} valid "
+        f"edges/s, MFU {mfu_pct}%")
+    global LAST_EXTRAS
+    LAST_EXTRAS = dict(valid_edges_per_s=round(valid_edges_per_s),
+                       update_ms=round(per_update * 1e3, 2),
+                       mfu_pct=mfu_pct,
+                       mfu_note="model FLOPs vs measured 172 TF/s "
+                                "bf16 peak (bench_peak.py)")
     return edges_per_s
 
 
@@ -315,6 +343,7 @@ def main():
                             "host-load-sensitive; see baseline_quality",
         "edges_definition": "padded-capacity",
         "baseline_quality": baseline_quality,
+        **LAST_EXTRAS,
     }))
 
 

@@ -70,12 +70,22 @@ def main():
     res["gru_shape_bf16"] = round(chain_matmul_tflops(
         2048, 576, 768, "bfloat16", n_chain=256, n_timed=5), 2)
     # Flagship-update utilization: FLOPs from the analytical count
-    # (fwd ~1.4 MFLOP/row x 2048 rows x 201 steps, bwd ~2x fwd).
+    # (fwd ~1.4 MFLOP/row x 2048 rows x 201 steps, bwd ~2x fwd).  Update
+    # times come from the CLI/env (measured by bench.py on the same chip) so
+    # a perf change can't silently report stale utilization (ADVICE r4):
+    #   python bench_peak.py [update_ms ...]   or   BENCH_UPDATE_MS=171.26
+    import os
+    import sys
     upd_flops = 1.4e6 * 2048 * 201 * 3
-    for name, ms in (("xla_per_step", 171.26), ("pallas_per_step", 169.49)):
-        res[f"util_vs_peak_{name}"] = round(
+    times = [float(a) for a in sys.argv[1:]]
+    if not times and os.environ.get("BENCH_UPDATE_MS"):
+        times = [float(x) for x in os.environ["BENCH_UPDATE_MS"].split(",")]
+    res["update_ms_source"] = ("cli/env" if times
+                               else "r4 default (bench.py 2026-08-21)")
+    for idx, ms in enumerate(times or [171.26]):
+        res[f"util_vs_peak_update{idx}_{ms}ms"] = round(
             (upd_flops / (ms / 1e3) / 1e12) / res["peak_bf16_4096"], 3)
-    res["update_tflops_xla"] = round(upd_flops / 0.17126 / 1e12, 2)
+        res[f"update_tflops_{idx}"] = round(upd_flops / (ms / 1e3) / 1e12, 2)
     print(json.dumps(res))
 
 

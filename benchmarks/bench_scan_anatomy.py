@@ -35,7 +35,12 @@ def timeit(fn, fence, n=10):
 
 
 def main():
-    os.environ.setdefault("BENCH_B", sys.argv[1] if len(sys.argv) > 1 else "256")
+    # An explicit CLI argument always wins; a pre-set BENCH_B env var only
+    # applies when no argument is given (ADVICE r4).
+    if len(sys.argv) > 1:
+        os.environ["BENCH_B"] = sys.argv[1]
+    else:
+        os.environ.setdefault("BENCH_B", "256")
     import jax
     import jax.numpy as jnp
     from uav_bs_ctrl_tpu.algos.common import enable_persistent_compilation_cache

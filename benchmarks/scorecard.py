@@ -27,7 +27,9 @@ RUNS = [
     ("exp1_fast_grp4_size5_rnn/*", ("exp1", "all_sizes", "grp4_mlp")),
     ("exp2_fast_r400_tarmac/*", ("exp2", "r400", "tarmac")),
     ("exp2_fast_r400_disc/*", ("exp2", "r400", "disc")),
-    ("exp2_fast_r400_disc_qmix/*", ("exp2", "r400", "disc")),
+    # exp2_fast_r400_disc_qmix is an UNMATCHED variant (the reference's r400
+    # column is plain disc, no mixer) — dropped from the scorecard per
+    # VERDICT r4 item 8; the run dir stays committed as an ablation artifact.
     ("exp2_fast_r400_iql/*", ("exp2", "r400", "iql")),
     ("exp2_fast_r400_iql_qmix/*", ("exp2", "r400", "qmix")),
     ("exp2_fast_r800_tarmac/*", ("exp2", "r800", "tarmac")),

@@ -69,18 +69,28 @@ def test_sigkill_of_child_resumes_to_full_budget(tmp_path):
         BASE_ARGS + ["--data-dir", str(tmp_path)], env=env, cwd=REPO,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
     try:
-        # Wait for the first checkpoint, then SIGKILL the training child.
+        # Wait for the first LOADABLE checkpoint, then SIGKILL the training
+        # child.  Polling for existence alone was load-flaky (VERDICT r4):
+        # on a busy host the kill could land with the file present but the
+        # child still mid-epoch bookkeeping; requiring a clean unpickle (the
+        # writer is atomic since r5) pins the resume point deterministically.
+        import pickle
         deadline = time.time() + 300
         ckpt = None
-        while time.time() < deadline:
+        while time.time() < deadline and sup.poll() is None:
             for root, _, files in os.walk(tmp_path):
-                hits = [f for f in files if f.startswith("checkpoint_epoch")]
-                if hits:
-                    ckpt = hits[0]
+                for f in files:
+                    if f.startswith("checkpoint_epoch") and f.endswith(".pt"):
+                        try:
+                            with open(os.path.join(root, f), "rb") as fh:
+                                pickle.load(fh)
+                            ckpt = f
+                        except Exception:
+                            pass
             if ckpt:
                 break
             time.sleep(0.5)
-        assert ckpt, "no checkpoint appeared before the kill window"
+        assert ckpt, "no loadable checkpoint appeared before the kill window"
 
         kids = subprocess.run(
             ["ps", "-o", "pid=", "--ppid", str(sup.pid)],

@@ -107,9 +107,9 @@ class FusedMadrqnTrainer:
             from jax.sharding import NamedSharding, PartitionSpec as P
             dp = mesh.shape["dp"]
             assert n_worlds % dp == 0, \
-                f"n_worlds={n_worlds} must divide the dp axis ({dp})"
+                f"n_worlds={n_worlds} must be divisible by the dp axis size ({dp})"
             assert self.capacity % dp == 0, \
-                f"capacity_chunks={self.capacity} must divide the dp axis ({dp})"
+                f"capacity_chunks={self.capacity} must be divisible by the dp axis size ({dp})"
             shard0 = lambda x: jax.device_put(
                 x, NamedSharding(mesh, P(*(("dp",) + (None,) * (x.ndim - 1)))))
             repl = lambda x: jax.device_put(x, NamedSharding(mesh, P())) \

@@ -153,6 +153,11 @@ class TarMAC:
             if mesh is not None:
                 return tarmac_attention_graph_parallel(
                     s, q, v, adj, self.key_size, mesh, axis=axis)
+            # Fail loudly like the gatv2 path: a comm-only graph-parallel
+            # config must not silently misreport that the distributed talk
+            # attention ran (ADVICE r4).
+            from uav_bs_ctrl_tpu.models.encoders import _warn_graph_parallel_fallback
+            _warn_graph_parallel_fallback("tarmac_talk")
         scores = jnp.einsum("...sk,...dk->...sd", s, q) / self.key_size  # SDDMM
         alpha = masked_softmax(scores, adj, axis=-2)  # softmax over sources per dst
         return jnp.einsum("...sd,...sm->...dm", alpha, v)  # attention SpMM

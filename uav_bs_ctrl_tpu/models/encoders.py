@@ -46,8 +46,8 @@ def _warn_graph_parallel_fallback(n_slots):
     _gp_fallback_warned.add(n_slots)
     import warnings
     warnings.warn(
-        "gat_backend='graph_parallel' fell back to dense: no mesh registered "
-        "(parallel.graph_parallel.set_graph_parallel_mesh)",
+        f"backend='graph_parallel' ({n_slots}) fell back to dense: no mesh "
+        "registered (parallel.graph_parallel.set_graph_parallel_mesh)",
         RuntimeWarning, stacklevel=3)
 
 

@@ -24,10 +24,21 @@ def _to_numpy(tree):
 
 
 def save(path, checkpoint: dict):
-    """Persist a checkpoint dict (scalars + pytrees of arrays)."""
+    """Persist a checkpoint dict (scalars + pytrees of arrays).
+
+    The pickle backend writes atomically (tmp file + ``os.replace``): a crash
+    or SIGKILL mid-write must never leave a truncated ``checkpoint_epoch*.pt``
+    behind, because the retry supervisor resumes from the NEWEST checkpoint
+    and a corrupt one would crash every resume attempt.
+    """
     if path.endswith(".pt"):
-        with open(path, "wb") as f:
+        import os
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
             pickle.dump(_to_numpy(checkpoint), f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
         return path
 
     import orbax.checkpoint as ocp
