@@ -98,9 +98,9 @@ def synth_obs(rng, shape_prefix):
     }
 
 
-def bench_tpu(n_timed=20):
-    import jax
-    import jax.numpy as jnp
+def setup_learner():
+    """Build the flagship learner with a full synthetic replay (importable —
+    benchmarks/bench_trace.py reuses the exact bench workload)."""
     from uav_bs_ctrl_tpu.algos.common import (check_args_sanity,
                                               enable_persistent_compilation_cache)
     enable_persistent_compilation_cache()
@@ -127,6 +127,14 @@ def bench_tpu(n_timed=20):
                 next_h=rng.normal(size=(A, HID)).astype(np.float32),
                 next_state=rng.normal(size=(STATE_DIM,)).astype(np.float32),
                 done=float(t == T - 1), bad_mask=float(t == T - 1))
+    return learner
+
+
+def bench_tpu(n_timed=20):
+    import jax
+    import jax.numpy as jnp
+
+    learner = setup_learner()
 
     t0 = time.perf_counter()
     m = learner.update()  # compile + tunnel warmup (+first host fetch inside)
