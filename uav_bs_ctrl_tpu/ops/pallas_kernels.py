@@ -51,6 +51,10 @@ def _effective_tile_m(m, tile_m, dtype):
     when M exceeds one tile; otherwise one j-block sized to the sublane-
     rounded slot count does the minimum padded work.
     """
+    import os
+    forced = os.environ.get("UAVBS_GAT_TILE_M")
+    if forced:
+        return int(forced)  # hardware-sweep / fallback escape hatch
     granule = _sublane(dtype)
     return min(tile_m, max(granule, ((m + granule - 1) // granule) * granule))
 
