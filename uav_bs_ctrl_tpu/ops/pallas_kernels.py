@@ -41,6 +41,17 @@ def _sublane(dtype):
     return 8 if jnp.dtype(dtype).itemsize >= 4 else 16
 
 
+def _mxu_precision(dtype):
+    """Precision for native-dtype MXU dots inside the kernels.
+
+    f32 operands must force true-f32 passes: DEFAULT lowers an f32 matmul to
+    bf16 MXU passes (measured 3.8e-2 grad error vs the dense twin at the
+    flagship shape on hardware).  bf16 operands keep DEFAULT — that IS the
+    native full-rate mode, with f32 accumulation via preferred_element_type.
+    """
+    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+
+
 def _effective_tile_m(m, tile_m, dtype):
     """Shrink the source-slot tile to the actual slot count (sublane-rounded).
 
@@ -222,7 +233,8 @@ def _flash_gat_fused_kernel(x_ref, w_ref, b_ref, er_ref, attn_ref, mask_ref,
     cdt = x.dtype
     el = jax.lax.dot_general(
         x.reshape(tn * tm, d), w,
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=_mxu_precision(cdt))
     el = (el + b.astype(jnp.float32)).reshape(tn, tm, hf)
     er = er_ref[:].astype(jnp.float32)                       # [TN, H*F]
 
@@ -239,7 +251,8 @@ def _flash_gat_fused_kernel(x_ref, w_ref, b_ref, er_ref, attn_ref, mask_ref,
         scores = jax.lax.dot_general(
             e.reshape(tn * tm, hf).astype(cdt), ablk.astype(cdt),
             (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).reshape(tn, tm, n_heads)
+            preferred_element_type=jnp.float32,
+            precision=_mxu_precision(cdt)).reshape(tn, tm, n_heads)
         scores = jnp.where(mask[:, :, None] > 0, scores, _NEG_BIG)
 
         m_old = m_scr[:]                                     # [TN, H]
@@ -257,7 +270,8 @@ def _flash_gat_fused_kernel(x_ref, w_ref, b_ref, er_ref, attn_ref, mask_ref,
         # MACs, but the MXU eats them against the VPU's reduce latency).
         full = jax.lax.dot_general(p.astype(cdt), el.astype(cdt),
                                    (((1,), (1,)), ((0,), (0,))),
-                                   preferred_element_type=jnp.float32)
+                                   preferred_element_type=jnp.float32,
+                                   precision=_mxu_precision(cdt))
         for h in range(n_heads):
             sl = slice(h * f, (h + 1) * f)
             acc_scr[:, sl] = (acc_scr[:, sl] * scale[:, h:h + 1]
@@ -456,7 +470,8 @@ def _flash_gat_fused_bwd_kernel(*refs, n_heads, negative_slope, mxu, need_dx):
 
     x_flat = x.reshape(tn * tm, d)
     el = jax.lax.dot_general(x_flat, w, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                             precision=_mxu_precision(cdt))
     el = (el + b).reshape(tn, tm, hf)
 
     if mxu:
@@ -474,7 +489,8 @@ def _flash_gat_fused_bwd_kernel(*refs, n_heads, negative_slope, mxu, need_dx):
         lz_flat = lz.reshape(tn * tm, hf).astype(cdt)
         scores = jax.lax.dot_general(
             lz_flat, ablk, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).reshape(tn, tm, n_heads)
+            preferred_element_type=jnp.float32,
+            precision=_mxu_precision(cdt)).reshape(tn, tm, n_heads)
 
         shift = jnp.where(mstat <= _NEG_BIG / 2, 0.0, mstat)  # [TN, H]
         p = jnp.where(mask[:, :, None] > 0,
@@ -484,30 +500,37 @@ def _flash_gat_fused_bwd_kernel(*refs, n_heads, negative_slope, mxu, need_dx):
         blkmask = (jax.lax.broadcasted_iota(jnp.int32, (hf, n_heads), 0) // f
                    == jax.lax.broadcasted_iota(jnp.int32, (hf, n_heads), 1)
                    ).astype(cdt)                              # [HF, H]
-        g_blk = g.astype(cdt)[:, :, None] * blkmask[None]     # [TN, HF, H]
+        # Insert the minor dim while still f32 (Mosaic rejects non-no-op
+        # minor-dim inserts on 16-bit vectors), then cast for the MXU dot.
+        g_blk = (g[:, :, None] * blkmask.astype(jnp.float32)[None]
+                 ).astype(cdt)                                # [TN, HF, H]
         d_alpha = jax.lax.dot_general(
             el.astype(cdt), g_blk, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)               # [TN, TM, H]
+            preferred_element_type=jnp.float32,
+            precision=_mxu_precision(cdt))                    # [TN, TM, H]
         d_s = alpha * (d_alpha - dvec[:, None, :])            # [TN, TM, H]
 
         d_s_flat = d_s.reshape(tn * tm, n_heads).astype(cdt)
         # (d_s @ blk-diag attn^T)[nm, hf] = d_s[nm, head(hf)] * attn[head, f]
         d_s_attn = jax.lax.dot_general(
             d_s_flat, ablk, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32).reshape(tn, tm, hf)
+            preferred_element_type=jnp.float32,
+            precision=_mxu_precision(cdt)).reshape(tn, tm, hf)
         dleaky = jnp.where(z >= 0, 1.0, negative_slope)
         d_z = d_s_attn * dleaky                               # [TN, TM, HF]
 
         alpha_b = jax.lax.dot_general(
             alpha.reshape(tn * tm, n_heads).astype(cdt), blkmask,
             (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32).reshape(tn, tm, hf)
+            preferred_element_type=jnp.float32,
+            precision=_mxu_precision(cdt)).reshape(tn, tm, hf)
         d_el = alpha_b * g[:, None, :] + d_z
         der_ref[:] += jnp.sum(d_z, axis=1)
 
         dfull = jax.lax.dot_general(d_s_flat, lz_flat,
                                     (((0,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)  # [H, HF]
+                                    preferred_element_type=jnp.float32,
+                                    precision=_mxu_precision(cdt))  # [H, HF]
         for h in range(n_heads):
             dattn_ref[h:h + 1, :] += dfull[h:h + 1, h * f:(h + 1) * f]
     else:
@@ -549,11 +572,13 @@ def _flash_gat_fused_bwd_kernel(*refs, n_heads, negative_slope, mxu, need_dx):
         # encoder path calls with need_dx=False and skips both the matmul
         # and the [N, M, D] HBM write.
         dx = jax.lax.dot_general(d_el_c, w, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32,
+                                 precision=_mxu_precision(cdt))
         dx_ref[:] = dx.reshape(tn, tm, d).astype(dx_ref.dtype)
     dw_ref[:] += jax.lax.dot_general(x_flat, d_el_c,
                                      (((0,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
+                                     preferred_element_type=jnp.float32,
+                                     precision=_mxu_precision(cdt))
     db_ref[:] += jnp.sum(d_el_flat, axis=0, keepdims=True)
 
 
@@ -602,6 +627,9 @@ def _fgf_bwd(n_heads, negative_slope, tile_n, tile_m, interpret, mxu, need_dx,
     default_tile_n = max(8, 1024 // tile_m)
     tile_n = min(tile_n, int(_os.environ.get("UAVBS_GAT_BWD_TILE",
                                              default_tile_n)))
+    # Mosaic requires the second-to-last block dim be a multiple of 8 (the
+    # 2D er/g/stat blocks are [tile_n, ...]); round down to the granule.
+    tile_n = max(8, (tile_n // 8) * 8)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n, m, d = x_src.shape
