@@ -210,9 +210,12 @@ class GraphObservationEncoder:
         # need_dx=False: the source features here are observation leaves —
         # nothing ever differentiates w.r.t. them, so the Pallas backward
         # skips the [.., M, d] obs-cotangent matmul and HBM write.
+        # UAVBS_GAT_FORCE_DX=1 restores it (hardware A/B lever, RESULTS.md).
+        import os as _os
+        need_dx = bool(_os.environ.get("UAVBS_GAT_FORCE_DX"))
         x_gt = gatv2(p["seen"], obs["gt"][..., 1:], obs["agent"], gt_mask,
-                     self.n_heads, backend=self.backend, need_dx=False)
+                     self.n_heads, backend=self.backend, need_dx=need_dx)
         x_ubs = gatv2(p["near"], obs["ubs"][..., 1:], obs["agent"], ubs_mask,
-                      self.n_heads, backend=self.backend, need_dx=False)
+                      self.n_heads, backend=self.backend, need_dx=need_dx)
         x = jnp.concatenate([x_gt, x_ubs], axis=-1)
         return jax.nn.relu(linear(p["aggr"], x))

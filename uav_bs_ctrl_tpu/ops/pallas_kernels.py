@@ -229,12 +229,18 @@ def _flash_gat_fused_kernel(x_ref, w_ref, b_ref, er_ref, attn_ref, mask_ref,
     # Fused projection: NATIVE-dtype operands on the MXU with f32 accumulate
     # (a bf16 x bf16 matmul runs at full MXU rate; upcasting first would halve
     # it).  Reshape only merges the leading (sublane) dims — Mosaic rejects
-    # lane-splitting reshapes, not this one.
-    cdt = x.dtype
+    # lane-splitting reshapes, not this one.  UAVBS_GAT_UPCAST_DOTS=1 restores
+    # the historical upcast-to-f32 operands (hardware A/B lever, RESULTS.md).
+    import os as _os
+    cdt = jnp.float32 if _os.environ.get("UAVBS_GAT_UPCAST_DOTS") else x.dtype
+    # Precision keys off the TRUE input dtype: real-f32 training needs HIGHEST
+    # (DEFAULT lowers to bf16 passes); bf16 runs — including the upcast A/B
+    # lever, which emulates the r4 behavior — keep DEFAULT.
+    prec = _mxu_precision(x.dtype)
     el = jax.lax.dot_general(
-        x.reshape(tn * tm, d), w,
+        x.reshape(tn * tm, d).astype(cdt), w.astype(cdt),
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=_mxu_precision(cdt))
+        precision=prec)
     el = (el + b.astype(jnp.float32)).reshape(tn, tm, hf)
     er = er_ref[:].astype(jnp.float32)                       # [TN, H*F]
 
@@ -252,7 +258,7 @@ def _flash_gat_fused_kernel(x_ref, w_ref, b_ref, er_ref, attn_ref, mask_ref,
             e.reshape(tn * tm, hf).astype(cdt), ablk.astype(cdt),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=_mxu_precision(cdt)).reshape(tn, tm, n_heads)
+            precision=prec).reshape(tn, tm, n_heads)
         scores = jnp.where(mask[:, :, None] > 0, scores, _NEG_BIG)
 
         m_old = m_scr[:]                                     # [TN, H]
@@ -271,7 +277,7 @@ def _flash_gat_fused_kernel(x_ref, w_ref, b_ref, er_ref, attn_ref, mask_ref,
         full = jax.lax.dot_general(p.astype(cdt), el.astype(cdt),
                                    (((1,), (1,)), ((0,), (0,))),
                                    preferred_element_type=jnp.float32,
-                                   precision=_mxu_precision(cdt))
+                                   precision=prec)
         for h in range(n_heads):
             sl = slice(h * f, (h + 1) * f)
             acc_scr[:, sl] = (acc_scr[:, sl] * scale[:, h:h + 1]
@@ -443,8 +449,11 @@ def _flash_gat_fused_bwd_kernel(*refs, n_heads, negative_slope, mxu, need_dx):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
+    import os as _os
     x = x_ref[:]                       # [TN, TM, D]  (native dtype — MXU dots
-    cdt = x.dtype                      #  run bf16 when the caller trains bf16)
+    cdt = (jnp.float32                 #  run bf16 when the caller trains bf16;
+           if _os.environ.get("UAVBS_GAT_UPCAST_DOTS") else x.dtype)
+    prec = _mxu_precision(x.dtype)     # true-dtype precision (see fwd kernel)
     w = w_ref[:]                       # [D, HF]
     b = b_ref[:].astype(jnp.float32)   # [1, HF]
     mask = mask_ref[:].astype(jnp.float32)  # [TN, TM] (bf16-safe, see fwd)
@@ -468,10 +477,10 @@ def _flash_gat_fused_bwd_kernel(*refs, n_heads, negative_slope, mxu, need_dx):
     def _init_row():
         der_ref[:] = jnp.zeros_like(der_ref)
 
-    x_flat = x.reshape(tn * tm, d)
-    el = jax.lax.dot_general(x_flat, w, (((1,), (0,)), ((), ())),
+    x_flat = x.reshape(tn * tm, d).astype(cdt)
+    el = jax.lax.dot_general(x_flat, w.astype(cdt), (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32,
-                             precision=_mxu_precision(cdt))
+                             precision=prec)
     el = (el + b).reshape(tn, tm, hf)
 
     if mxu:
@@ -490,7 +499,7 @@ def _flash_gat_fused_bwd_kernel(*refs, n_heads, negative_slope, mxu, need_dx):
         scores = jax.lax.dot_general(
             lz_flat, ablk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=_mxu_precision(cdt)).reshape(tn, tm, n_heads)
+            precision=prec).reshape(tn, tm, n_heads)
 
         shift = jnp.where(mstat <= _NEG_BIG / 2, 0.0, mstat)  # [TN, H]
         p = jnp.where(mask[:, :, None] > 0,
@@ -507,7 +516,7 @@ def _flash_gat_fused_bwd_kernel(*refs, n_heads, negative_slope, mxu, need_dx):
         d_alpha = jax.lax.dot_general(
             el.astype(cdt), g_blk, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-            precision=_mxu_precision(cdt))                    # [TN, TM, H]
+            precision=prec)                    # [TN, TM, H]
         d_s = alpha * (d_alpha - dvec[:, None, :])            # [TN, TM, H]
 
         d_s_flat = d_s.reshape(tn * tm, n_heads).astype(cdt)
@@ -515,7 +524,7 @@ def _flash_gat_fused_bwd_kernel(*refs, n_heads, negative_slope, mxu, need_dx):
         d_s_attn = jax.lax.dot_general(
             d_s_flat, ablk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=_mxu_precision(cdt)).reshape(tn, tm, hf)
+            precision=prec).reshape(tn, tm, hf)
         dleaky = jnp.where(z >= 0, 1.0, negative_slope)
         d_z = d_s_attn * dleaky                               # [TN, TM, HF]
 
@@ -523,14 +532,14 @@ def _flash_gat_fused_bwd_kernel(*refs, n_heads, negative_slope, mxu, need_dx):
             alpha.reshape(tn * tm, n_heads).astype(cdt), blkmask,
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=_mxu_precision(cdt)).reshape(tn, tm, hf)
+            precision=prec).reshape(tn, tm, hf)
         d_el = alpha_b * g[:, None, :] + d_z
         der_ref[:] += jnp.sum(d_z, axis=1)
 
         dfull = jax.lax.dot_general(d_s_flat, lz_flat,
                                     (((0,), (0,)), ((), ())),
                                     preferred_element_type=jnp.float32,
-                                    precision=_mxu_precision(cdt))  # [H, HF]
+                                    precision=prec)  # [H, HF]
         for h in range(n_heads):
             dattn_ref[h:h + 1, :] += dfull[h:h + 1, h * f:(h + 1) * f]
     else:
@@ -571,14 +580,15 @@ def _flash_gat_fused_bwd_kernel(*refs, n_heads, negative_slope, mxu, need_dx):
         # leaves (the training update differentiates params only) — the
         # encoder path calls with need_dx=False and skips both the matmul
         # and the [N, M, D] HBM write.
-        dx = jax.lax.dot_general(d_el_c, w, (((1,), (1,)), ((), ())),
+        dx = jax.lax.dot_general(d_el_c, w.astype(cdt),
+                                 (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32,
-                                 precision=_mxu_precision(cdt))
+                                 precision=prec)
         dx_ref[:] = dx.reshape(tn, tm, d).astype(dx_ref.dtype)
     dw_ref[:] += jax.lax.dot_general(x_flat, d_el_c,
                                      (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32,
-                                     precision=_mxu_precision(cdt))
+                                     precision=prec)
     db_ref[:] += jnp.sum(d_el_flat, axis=0, keepdims=True)
 
 
