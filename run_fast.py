@@ -303,6 +303,8 @@ if __name__ == "__main__":
                              "n_worlds/S episodes -> updates/S, x S)")
     parser.add_argument("--n-layouts", type=int, default=256)
     parser.add_argument("--compute-dtype", default="float32")
+    parser.add_argument("--matmul-precision", default=None,
+                        help="None|default|high|highest — f32 TPU matmul passes")
     parser.add_argument("--data-dir", default=None)
     parser.add_argument("--resume", action="store_true",
                         help="continue from the newest checkpoint in the run dir")
@@ -324,7 +326,8 @@ if __name__ == "__main__":
 
     def _dispatch():
         if cli.exp == "exp1":
-            overrides = dict(agent=cli.agent, compute_dtype=cli.compute_dtype)
+            overrides = dict(agent=cli.agent, compute_dtype=cli.compute_dtype,
+                             matmul_precision=cli.matmul_precision)
             for k in ("epochs", "steps_per_epoch", "replay_size", "update_after",
                       "device", "save_freq"):
                 v = getattr(cli, k)
@@ -342,7 +345,8 @@ if __name__ == "__main__":
 
         map_id = cli.map_id or ("r400" if cli.exp == "exp2" else "4ubs")
         c = None if cli.c in (None, "none") else cli.c
-        overrides = dict(c=c, mixer=cli.mixer, compute_dtype=cli.compute_dtype)
+        overrides = dict(c=c, mixer=cli.mixer, compute_dtype=cli.compute_dtype,
+                         matmul_precision=cli.matmul_precision)
         if cli.obs_enc:
             overrides["o"] = cli.obs_enc
         for k in ("epochs", "steps_per_epoch", "replay_size", "update_after",

@@ -39,6 +39,18 @@ def check_args_sanity(args):
         raise ValueError(f"compute_dtype must be 'float32' or 'bfloat16', "
                          f"got {compute_dtype!r}")
 
+    # Matmul precision: on TPU, DEFAULT precision lowers f32 matmuls to bf16
+    # MXU passes (~1e-2 rel error — reference CUDA math is true f32);
+    # 'highest' forces true-f32 passes, 'high' = bf16_3x (~1e-4).  None keeps
+    # the process default (benchmarks/RESULTS.md round-5 takeoff study).
+    mm_prec = getattr(args, "matmul_precision", None)
+    if mm_prec not in (None, "default", "high", "highest"):
+        raise ValueError(f"matmul_precision must be None|'default'|'high'|"
+                         f"'highest', got {mm_prec!r}")
+    if mm_prec and mm_prec != "default":
+        import jax
+        jax.config.update("jax_default_matmul_precision", mm_prec)
+
     # gatv2() falls through to the dense path on an unrecognized string, so a
     # typo'd backend would silently lose the custom kernel — fail loudly here.
     gat_backend = getattr(args, "gat_backend", "dense")

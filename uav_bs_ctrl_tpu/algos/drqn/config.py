@@ -12,6 +12,7 @@ DEFAULT_CONFIG = {
     'n_layers': 2,
     'n_heads': 4,
     'compute_dtype': 'float32',  # 'bfloat16' -> mixed-precision net compute (MXU-native)
+    'matmul_precision': None,    # None|'default'|'high'|'highest' (f32 TPU matmul passes)
 
     # Basic training hyperparameters
     'lr': 5e-4,

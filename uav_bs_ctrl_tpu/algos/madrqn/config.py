@@ -35,6 +35,7 @@ DEFAULT_CONFIG = {
     # scan-BPTT floor.  Requires c='tarmac', n_rounds=1.
     'step_backend': 'xla',
     'compute_dtype': 'float32',  # 'bfloat16' -> mixed-precision net compute (MXU-native)
+    'matmul_precision': None,    # None|'default'|'high'|'highest' (f32 TPU matmul passes)
 
     # Basic training hyperparameters
     'lr': 5e-4,
