@@ -18,8 +18,11 @@ Usage: python benchmarks/bench_segment_ab.py   (on the TPU; prints JSON)
 """
 
 import json
+import os.path as osp
 import sys
 import time
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 import numpy as np
 
