@@ -113,10 +113,18 @@ def main():
         grads = {}
         for name, fn in (("dense", dense_fn), ("segment", segment_fn),
                          ("pallas_mxu", pallas_fn)):
-            row[name + "_ms"], grads[name] = bench_one(
-                f"{label}/{name}", fn, inputs, heads, f)
+            try:
+                row[name + "_ms"], grads[name] = bench_one(
+                    f"{label}/{name}", fn, inputs, heads, f)
+            except Exception as e:  # e.g. HBM OOM: that IS the result
+                msg = str(e)
+                oom = "Ran out of memory" in msg or "RESOURCE_EXHAUSTED" in msg
+                row[name + "_ms"] = "OOM" if oom else "ERROR"
+                log(f"{label}/{name}: {'OOM' if oom else msg.splitlines()[0]}")
         # Cross-backend gradient agreement (same math, three layouts).
         for name in ("segment", "pallas_mxu"):
+            if name not in grads or "dense" not in grads:
+                continue
             err = max(float(jnp.max(jnp.abs(a - b)))
                       for a, b in zip(grads["dense"], grads[name]))
             row[name + "_grad_maxerr"] = round(err, 6)
