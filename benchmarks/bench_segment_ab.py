@@ -75,9 +75,11 @@ def segment_fn(x, w, b, er, attn, mask, heads, f):
 
 def pallas_fn(x, w, b, er, attn, mask, heads, f):
     from uav_bs_ctrl_tpu.ops.pallas_kernels import flash_gat_fused_train
+    # tile_n=16: this A/B runs f32 (the layouts under comparison are the
+    # variable, not the dtype); the 32-row MXU tile only fits VMEM in bf16.
     return flash_gat_fused_train(x, w, b, er, attn,
                                  mask.astype(x.dtype), heads, 0.2,
-                                 32, 128, None, True, False)
+                                 16, 128, None, True, False)
 
 
 def bench_one(name, fn, inputs, heads, f, n_timed=30):
