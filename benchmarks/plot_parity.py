@@ -48,6 +48,8 @@ PAIRS = [
      "data/exp3_fast_4ubs_tarmac_qmix/exp3_fast_4ubs_tarmac_qmix_s0/progress.txt"),
     ("exp3 4ubs ref-Disc vs ours Disc+QMIX", "exp3_4ubs_disc_gnn.csv",
      "data/exp3_fast_4ubs_disc_qmix/exp3_fast_4ubs_disc_qmix_s0/progress.txt"),
+    ("exp3 4ubs Disc (no mixer, literal config)", "exp3_4ubs_disc_gnn.csv",
+     "data/exp3_fast_4ubs_disc_lay64k/exp3_fast_4ubs_disc_lay64k_s0/progress.txt"),
     ("exp3 4ubs TarMAC-MLP", "exp3_4ubs_tarmac_mlp.csv",
      "data/exp3_fast_4ubs_tarmac_mlp/exp3_fast_4ubs_tarmac_mlp_s0/progress.txt"),
     ("exp3 6ubs TarMAC", "exp3_6ubs_tarmac_gnn.csv",
